@@ -1,0 +1,118 @@
+"""Device-side multi-head token sampling.
+
+TPU-native replacement for the reference's host C++ sampler
+(src/sampler.cpp). Same observable semantics, but fully jittable and running
+on device so logits never cross to the host inside the decode loop:
+
+  * greedy argmax over raw logits when sampling is off (sampler::max)
+  * repetition penalty: the (single) last token's logit is *divided* by
+    rp^consecutive_repeat_count (sampler.cpp:89-100)
+  * temperature division, numerically-stable softmax
+  * top-k restriction (sampler::topk)
+  * top-p nucleus: trim sorted probs at the first prefix reaching top_p,
+    sample u ~ U(0,1) * min(prefix_sum, top_p) (sampler::topp + sample)
+
+All heads sample independently (Parler/Dia: 9 codebook heads; Orpheus: 1).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SamplerState(NamedTuple):
+    """Per-head repetition-penalty state (reference sampler::reset)."""
+
+    last_token: jax.Array  # (H,) int32, -1 = none
+    repeat_count: jax.Array  # (H,) int32
+
+
+def init_state(n_heads: int) -> SamplerState:
+    return SamplerState(
+        last_token=jnp.full((n_heads,), -1, jnp.int32),
+        repeat_count=jnp.zeros((n_heads,), jnp.int32),
+    )
+
+
+def _penalized(logits: jax.Array, state: SamplerState, rp: float) -> jax.Array:
+    """Divide the last token's logit by rp^count, per head."""
+    h, v = logits.shape
+    tok = jnp.arange(v)[None, :]
+    factor = rp ** state.repeat_count.astype(jnp.float32)
+    hit = tok == state.last_token[:, None]
+    return jnp.where(hit, logits / factor[:, None], logits)
+
+
+def update_state(state: SamplerState, tokens: jax.Array) -> SamplerState:
+    same = tokens == state.last_token
+    return SamplerState(
+        last_token=tokens.astype(jnp.int32),
+        repeat_count=jnp.where(same, state.repeat_count + 1, 1).astype(jnp.int32),
+    )
+
+
+def greedy(logits: jax.Array) -> jax.Array:
+    """(H, V) -> (H,) argmax. Reference sampler::max (no penalties applied)."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample(key: jax.Array, logits: jax.Array, state: SamplerState,
+           temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
+           repetition_penalty: float = 1.0) -> tuple[jax.Array, SamplerState]:
+    """Sample one token per head from (H, V) logits.
+
+    temperature/top_k/top_p/repetition_penalty are python-static (they come
+    from GenerationConfig and bake into the jitted step). Returns (tokens,
+    new_state).
+    """
+    h, v = logits.shape
+    x = logits.astype(jnp.float32)
+    if repetition_penalty != 1.0:
+        x = _penalized(x, state, repetition_penalty)
+    if temperature != 1.0:
+        x = x / temperature
+    probs = jax.nn.softmax(x, axis=-1)
+
+    order = jnp.argsort(-probs, axis=-1)  # descending
+    sorted_p = jnp.take_along_axis(probs, order, axis=-1)
+    j = jnp.arange(v)[None, :]
+    keep = jnp.ones((h, v), bool)
+    if 0 < top_k < v:
+        keep = keep & (j < top_k)
+    kept_p = jnp.where(keep, sorted_p, 0.0)
+    cum = jnp.cumsum(kept_p, axis=-1)
+    if top_p < 1.0:
+        # keep entries whose preceding cumulative mass is < top_p
+        # (the entry that crosses top_p is included).
+        keep = keep & ((cum - kept_p) < top_p)
+        kept_p = jnp.where(keep, sorted_p, 0.0)
+        cum = jnp.cumsum(kept_p, axis=-1)
+        max_head_prob = jnp.minimum(jnp.sum(kept_p, axis=-1), top_p)
+    else:
+        max_head_prob = jnp.ones((h,))
+        if 0 < top_k < v:
+            # reference: u in [0,1) vs cumsum of top-k probs; overflow mass
+            # falls on the last pick, equivalent to clamping u at the sum.
+            max_head_prob = jnp.ones((h,))
+
+    u = jax.random.uniform(key, (h,)) * max_head_prob
+    found = keep & (cum >= u[:, None])
+    first_hit = jnp.argmax(found, axis=-1)
+    any_hit = jnp.any(found, axis=-1)
+    # fallback: last kept index (reference picks[i].size() - 1 clause)
+    last_kept = v - 1 - jnp.argmax(jnp.flip(keep, axis=-1), axis=-1)
+    pos = jnp.where(any_hit, first_hit, last_kept)
+    tokens = jnp.take_along_axis(order, pos[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    new_state = update_state(state, tokens) if repetition_penalty != 1.0 else state
+    return tokens, new_state
+
+
+def sample_or_greedy(key, logits, state, *, do_sample: bool, temperature: float,
+                     top_k: int, top_p: float, repetition_penalty: float):
+    """Unified entry used by the jitted decode steps."""
+    if not do_sample:
+        return greedy(logits), state
+    return sample(key, logits, state, temperature, top_k, top_p,
+                  repetition_penalty)
