@@ -1,0 +1,417 @@
+"""Parler-TTS decoder — TPU-native implementation.
+
+Behavior parity with reference src/models/parler/model.cpp, re-architected
+for XLA: instead of rebuilding a ggml graph every decode step
+(model.cpp:648-693), the WHOLE autoregressive generation is one jitted
+`lax.while_loop` with static shapes — tokens, KV cache, sampling, per-channel
+delay/EOS logic all stay on device; only the final token buffer crosses to
+host, then the DAC vocoder runs as a second jitted program.
+
+Model math (reference build_parler_graph, model.cpp:520-614):
+  pre-LN transformer, learned positional embeddings, causal self-attention
+  with KV cache, cross-attention against K/V precomputed from the baked T5
+  text encoding (prep_cross_key_values, model.cpp:110-173), GELU MLP,
+  9 codebook LM heads. Decode embeds the 9 previous codebook tokens by
+  summing 9 embedding tables (model.cpp:387-410).
+
+Generation protocol (model.cpp:762-858):
+  prompt prefill (no sampling) -> per-step 9-head sampling with per-channel
+  delay (head i receives BOS until step > i) and EOS latching; stop when all
+  channels saw EOS or position reaches max_generation; delay-undo + invalid
+  token filtering (adjust_output_tokens, model.cpp:734-760) -> DAC.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...common import GenerationConfig, TTSResponse, SAMPLE_RATE_DAC
+from ...gguf.reader import GGUFReader
+from ...ops import sampling
+from ...ops.attention import sdpa
+from ...ops.linear import Weight, from_gguf_tensor, matmul, stack_weights, take_rows, dense
+from ...text import UnigramTokenizer
+from ..base import TTSRunner
+
+
+@dataclasses.dataclass(eq=False)  # identity hash -> stable jit static arg
+class ParlerConfig:
+    """Reference defaults = Parler Mini v1 (parler/model.h:66-82); overridden
+    by GGUF keys parler-tts.decoder.* (model.cpp:51-108)."""
+
+    n_output_heads: int = 9
+    n_encode_length: int = 0
+    hidden_size: int = 1024
+    max_ctx_length: int = 4096
+    n_attn_heads: int = 16
+    output_vocab_size: int = 1088
+    eos_token_id: int = 1024
+    audio_vocab_size: int = 1024
+    max_generation_size: int = 2580
+    n_layers: int = 24
+    bos_token_id: int = 1025
+    use_cross_attn: bool = True
+
+    @property
+    def head_size(self) -> int:
+        return self.hidden_size // self.n_attn_heads
+
+    @classmethod
+    def from_gguf(cls, r: GGUFReader) -> "ParlerConfig":
+        g = lambda keys, d: r.first_key(keys, d)
+        c = cls()
+        c.n_encode_length = int(g(["parler-tts.decoder.encode_length", "encode_length"], 0))
+        c.hidden_size = int(g(["parler-tts.decoder.hidden_size", "hidden_size"], c.hidden_size))
+        c.n_output_heads = int(g(["parler-tts.decoder.output_heads", "output_heads"], c.n_output_heads))
+        c.max_ctx_length = int(g(["parler-tts.decoder.context_length", "ctx_length"], c.max_ctx_length))
+        c.n_attn_heads = int(g(["parler-tts.decoder.attention.head_count", "attn_heads"], c.n_attn_heads))
+        c.output_vocab_size = int(g(["parler-tts.decoder.out_vocab_size", "out_vocab_size"], c.output_vocab_size))
+        c.audio_vocab_size = int(g(["parler-tts.decoder.audio_vocab_size", "audio_vocab_size"], c.audio_vocab_size))
+        c.max_generation_size = int(g(["parler-tts.decoder.max_generation", "max_generation"], c.max_generation_size))
+        c.n_layers = int(g(["parler-tts.decoder.num_hidden_layers", "num_hidden_layers"], c.n_layers))
+        c.bos_token_id = int(g(["audio.bos_token_id", "bos_token_id"], c.bos_token_id))
+        c.eos_token_id = int(g(["audio.eos_token_id", "eos_token_id"], c.eos_token_id))
+        return c
+
+
+class ParlerLayerWeights(NamedTuple):
+    ln1_w: Any; ln1_b: Any
+    q_w: Weight; k_w: Weight; v_w: Weight; o_w: Weight
+    lnc_w: Any; lnc_b: Any          # cross-attn norm (zeros if disabled)
+    cq_w: Weight; co_w: Weight      # cross q / out proj
+    cross_k: Any; cross_v: Any      # (heads, Tc, D) precomputed
+    ln2_w: Any; ln2_b: Any
+    fc1: Weight; fc2: Weight
+
+
+class ParlerWeights(NamedTuple):
+    layers: ParlerLayerWeights      # leaves stacked on axis 0 (L, ...)
+    embds: Any                      # (n_heads, vocab+, H) audio codebook embeds
+    prompt_embd: Weight             # (prompt_vocab, H)
+    pos_embd: Any                   # (max_ctx, H)
+    final_ln_w: Any; final_ln_b: Any
+    heads: Weight                   # (n_heads * vocab, H) stacked LM heads
+
+
+def _layer_norm(x, w, b, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _split_heads(x, n_heads):
+    # (T, H) -> (heads, T, D)
+    t = x.shape[0]
+    return x.reshape(t, n_heads, -1).transpose(1, 0, 2)
+
+
+def _layer_step(cfg: ParlerConfig, lw: ParlerLayerWeights, x, kv_k, kv_v,
+                pos, attn_bias, use_cross: bool):
+    """One transformer layer over x (T, H). kv_k/kv_v (heads, ctx, D) are this
+    layer's cache slices; new K/V rows are written at [pos, pos+T)."""
+    t = x.shape[0]
+    h = _layer_norm(x, lw.ln1_w, lw.ln1_b)
+    q = _split_heads(matmul(h, lw.q_w), cfg.n_attn_heads)
+    k = _split_heads(matmul(h, lw.k_w), cfg.n_attn_heads)
+    v = _split_heads(matmul(h, lw.v_w), cfg.n_attn_heads)
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k.astype(kv_k.dtype), (0, pos, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v.astype(kv_v.dtype), (0, pos, 0))
+    attn = sdpa(q, kv_k, kv_v, bias=attn_bias)          # (heads, T, D)
+    attn = attn.transpose(1, 0, 2).reshape(t, cfg.hidden_size)
+    x = x + matmul(attn, lw.o_w)
+    if use_cross:
+        h = _layer_norm(x, lw.lnc_w, lw.lnc_b)
+        q = _split_heads(matmul(h, lw.cq_w), cfg.n_attn_heads)
+        attn = sdpa(q, lw.cross_k, lw.cross_v)
+        attn = attn.transpose(1, 0, 2).reshape(t, cfg.hidden_size)
+        x = x + matmul(attn, lw.co_w)
+    h = _layer_norm(x, lw.ln2_w, lw.ln2_b)
+    h = matmul(h, lw.fc1)
+    h = jax.nn.gelu(h, approximate=False)
+    x = x + matmul(h, lw.fc2)
+    return x, kv_k, kv_v
+
+
+def _transformer(cfg: ParlerConfig, w: ParlerWeights, x, kv_k, kv_v, pos,
+                 attn_bias, use_cross: bool):
+    """Scan over stacked layers. kv_k/kv_v: (L, heads, ctx, D)."""
+
+    def body(carry, inp):
+        xc = carry
+        lw, kk, vv = inp
+        xo, kk, vv = _layer_step(cfg, lw, xc, kk, vv, pos, attn_bias, use_cross)
+        return xo, (kk, vv)
+
+    x, (kv_k, kv_v) = jax.lax.scan(body, x, (w.layers, kv_k, kv_v))
+    x = _layer_norm(x, w.final_ln_w, w.final_ln_b)
+    return x, kv_k, kv_v
+
+
+def _logits_last(cfg: ParlerConfig, w: ParlerWeights, x_last):
+    """(H,) hidden -> (n_heads, vocab) logits via the stacked head matmul."""
+    out = matmul(x_last[None, :], w.heads)[0]
+    return out.reshape(cfg.n_output_heads, cfg.output_vocab_size)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_cross"))
+def parler_prefill(cfg: ParlerConfig, w: ParlerWeights, tokens,
+                   kv_k, kv_v, use_cross: bool = True):
+    """Prompt prefill: tokens (P,) padded; writes KV rows [0, P).
+
+    Padded rows are junk but are always overwritten by later audio steps
+    before any query attends to them (audio step s writes row valid_len+s and
+    attends rows <= valid_len+s).
+    """
+    p = tokens.shape[0]
+    x = take_rows(w.prompt_embd, tokens) + w.pos_embd[:p]
+    i = jnp.arange(p)[:, None]
+    j = jnp.arange(kv_k.shape[-2])[None, :]
+    bias = jnp.where(j <= i, 0.0, -jnp.inf).astype(x.dtype)  # (P, ctx)
+    x, kv_k, kv_v = _transformer(cfg, w, x, kv_k, kv_v, 0, bias, use_cross)
+    return kv_k, kv_v
+
+
+class DecodeState(NamedTuple):
+    kv_k: Any
+    kv_v: Any
+    pos: Any            # current cache position (prompt_len + step)
+    step: Any           # audio step counter
+    tokens_in: Any      # (n_heads,) next input codebook tokens
+    eos_seen: Any       # (n_heads,) bool — lags one step for the feed
+    out_tokens: Any     # (max_gen, n_heads)
+    sampler_state: sampling.SamplerState
+    key: Any
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_cross", "do_sample",
+                                             "temperature", "top_k", "top_p",
+                                             "repetition_penalty"))
+def parler_generate_tokens(cfg: ParlerConfig, w: ParlerWeights, prompt_len,
+                           kv_k, kv_v, key, *, use_cross: bool = True,
+                           do_sample: bool = True, temperature: float = 1.0,
+                           top_k: int = 0, top_p: float = 1.0,
+                           repetition_penalty: float = 1.0):
+    """Full on-device AR generation loop. Returns (out_tokens, n_steps)."""
+    nh = cfg.n_output_heads
+    max_steps = cfg.max_generation_size
+
+    st0 = DecodeState(
+        kv_k=kv_k, kv_v=kv_v,
+        pos=prompt_len.astype(jnp.int32),
+        step=jnp.int32(0),
+        tokens_in=jnp.full((nh,), cfg.bos_token_id, jnp.int32),
+        eos_seen=jnp.zeros((nh,), bool),
+        out_tokens=jnp.zeros((max_steps, nh), jnp.int32),
+        sampler_state=sampling.init_state(nh),
+        key=key,
+    )
+
+    ctx = kv_k.shape[-2]
+    j = jnp.arange(ctx)[None, :]
+
+    def cond(st: DecodeState):
+        # reference check_stopping (model.cpp:715-732): stop at max position
+        # or when every channel latched EOS (only checked once outputs exist)
+        return ((st.step == 0) | ~jnp.all(st.eos_seen)) & \
+            (st.pos < max_steps) & (st.step < max_steps)
+
+    def body(st: DecodeState):
+        # embed: sum the 9 per-codebook embeddings + positional
+        embs = jax.vmap(lambda e, t: e[t])(w.embds, st.tokens_in)  # (nh, H)
+        x = jnp.sum(embs, axis=0, keepdims=True) + w.pos_embd[st.pos][None, :]
+        bias = jnp.where(j <= st.pos, 0.0, -jnp.inf).astype(x.dtype)  # (1, ctx)
+        x, kv_k2, kv_v2 = _transformer(cfg, w, x, st.kv_k, st.kv_v, st.pos,
+                                       bias, use_cross)
+        logits = _logits_last(cfg, w, x[0])
+        key, sub = jax.random.split(st.key)
+        toks, s_state = sampling.sample_or_greedy(
+            sub, logits, st.sampler_state, do_sample=do_sample,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty)
+        out = jax.lax.dynamic_update_slice(st.out_tokens, toks[None, :],
+                                           (st.step, 0))
+        # feed uses eos_seen as of BEFORE this sample (reference lag,
+        # model.cpp:779-785), then latch with the new sample
+        heads_i = jnp.arange(nh)
+        nxt = jnp.where(st.step + 1 > heads_i,
+                        jnp.where(st.eos_seen, cfg.eos_token_id, toks),
+                        cfg.bos_token_id).astype(jnp.int32)
+        eos = st.eos_seen | (toks == cfg.eos_token_id)
+        return DecodeState(kv_k2, kv_v2, st.pos + 1, st.step + 1, nxt, eos,
+                           out, s_state, key)
+
+    st = jax.lax.while_loop(cond, body, st0)
+    return st.out_tokens, st.step
+
+
+def adjust_output_tokens(out: np.ndarray, n_steps: int, cfg: ParlerConfig) -> np.ndarray:
+    """Delay-undo + invalid-frame filtering (reference model.cpp:734-760).
+
+    frame i channel ii reads out[i+ii, ii]; frames containing any token
+    >= audio_vocab_size (EOS/BOS/pad) are dropped.
+    """
+    nh = cfg.n_output_heads
+    out = np.asarray(out[:n_steps])
+    frames = []
+    for i in range(n_steps):
+        idx = i + np.arange(nh)
+        if np.any(idx >= n_steps):
+            break
+        row = out[idx, np.arange(nh)]
+        if np.all(row < cfg.audio_vocab_size):
+            frames.append(row)
+    if not frames:
+        return np.zeros((0, nh), np.int64)
+    return np.stack(frames).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Loading
+# ---------------------------------------------------------------------------
+
+def precompute_cross_kv(cfg: ParlerConfig, text_encoding: jax.Array,
+                        k_ws: list, v_ws: list):
+    """Per-layer cross K/V from the baked text encoding
+    (reference prep_cross_key_values, model.cpp:110-173)."""
+    ks, vs = [], []
+    for kw, vw in zip(k_ws, v_ws):
+        k = matmul(text_encoding, kw)   # (Tc, H)
+        v = matmul(text_encoding, vw)
+        ks.append(_split_heads(k, cfg.n_attn_heads))
+        vs.append(_split_heads(v, cfg.n_attn_heads))
+    return jnp.stack(ks), jnp.stack(vs)
+
+
+def load_parler_weights(r: GGUFReader, cfg: ParlerConfig,
+                        prefix: str = "decoder.") -> ParlerWeights:
+    names = set(r.tensor_names())
+
+    def get(name: str) -> Weight:
+        return from_gguf_tensor(r, prefix + name)
+
+    lws = []
+    k_ws, v_ws = [], []
+    for l in range(cfg.n_layers):
+        b = f"layers.{l}."
+        zeros_h = jnp.zeros((cfg.hidden_size,), jnp.float32)
+        has_cross = (prefix + b + "encoder_attn.q_proj.weight") in names and cfg.use_cross_attn
+        k_ws.append(get(b + "encoder_attn.k_proj.weight") if has_cross else None)
+        v_ws.append(get(b + "encoder_attn.v_proj.weight") if has_cross else None)
+        lws.append(dict(
+            ln1_w=get(b + "self_attn_layer_norm.weight"),
+            ln1_b=get(b + "self_attn_layer_norm.bias"),
+            q_w=get(b + "self_attn.q_proj.weight"),
+            k_w=get(b + "self_attn.k_proj.weight"),
+            v_w=get(b + "self_attn.v_proj.weight"),
+            o_w=get(b + "self_attn.out_proj.weight"),
+            lnc_w=get(b + "encoder_attn_layer_norm.weight") if has_cross else zeros_h,
+            lnc_b=get(b + "encoder_attn_layer_norm.bias") if has_cross else zeros_h,
+            cq_w=get(b + "encoder_attn.q_proj.weight") if has_cross else jnp.zeros((cfg.hidden_size, cfg.hidden_size), jnp.float32),
+            co_w=get(b + "encoder_attn.out_proj.weight") if has_cross else jnp.zeros((cfg.hidden_size, cfg.hidden_size), jnp.float32),
+            ln2_w=get(b + "final_layer_norm.weight"),
+            ln2_b=get(b + "final_layer_norm.bias"),
+            fc1=get(b + "fc1.weight"),
+            fc2=get(b + "fc2.weight"),
+        ))
+
+    use_cross = cfg.use_cross_attn and all(k is not None for k in k_ws) and \
+        (prefix + "text_encoding") in names
+    if use_cross:
+        text_encoding = jnp.asarray(np.asarray(r.array(prefix + "text_encoding"),
+                                               dtype=np.float32))
+        cfg.n_encode_length = text_encoding.shape[0]
+        cross_k, cross_v = precompute_cross_kv(cfg, text_encoding, k_ws, v_ws)
+    else:
+        cfg.use_cross_attn = False
+        tc = max(cfg.n_encode_length, 1)
+        cross_k = jnp.zeros((cfg.n_layers, cfg.n_attn_heads, tc, cfg.head_size))
+        cross_v = jnp.zeros_like(cross_k)
+
+    layer_stack = ParlerLayerWeights(**{
+        f: stack_weights([lw[f] for lw in lws]) for f in ParlerLayerWeights._fields
+        if f not in ("cross_k", "cross_v")
+    }, cross_k=cross_k, cross_v=cross_v)
+
+    embds = jnp.stack([dense(get(f"embed_tokens.{i}.weight"))
+                       for i in range(cfg.n_output_heads)])
+    heads = stack_weights([get(f"lm_heads.{i}.weight.head")
+                           for i in range(cfg.n_output_heads)])
+    # flatten stacked heads (nh, vocab, H) -> (nh*vocab, H) for one matmul
+    if isinstance(heads, jnp.ndarray):
+        heads = heads.reshape(-1, heads.shape[-1])
+    else:
+        # quantized heads: concatenate along N (codes_t lane axis)
+        from ...ops.quant_matmul import QuantTensor
+        heads = QuantTensor(
+            heads.codes_t.transpose(1, 0, 2).reshape(heads.codes_t.shape[1], -1),
+            heads.scales_t.transpose(1, 0, 2).reshape(heads.scales_t.shape[1], -1),
+            heads.qtype)
+
+    return ParlerWeights(
+        layers=layer_stack,
+        embds=embds,
+        prompt_embd=get("embed_prompts"),
+        pos_embd=dense(get("positional_embed")),
+        final_ln_w=get("layer_norm.weight"),
+        final_ln_b=get("layer_norm.bias"),
+        heads=heads,
+    )
+
+
+class ParlerRunner(TTSRunner):
+    arch = "parler-tts"
+
+    def __init__(self, cfg: ParlerConfig, weights: ParlerWeights,
+                 tokenizer: UnigramTokenizer, dac_runner=None,
+                 prompt_buckets=(64, 128, 256, 512)):
+        self.cfg = cfg
+        self.weights = weights
+        self.tokenizer = tokenizer
+        self.dac = dac_runner
+        self.prompt_buckets = prompt_buckets
+
+    def _bucket(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        return self.prompt_buckets[-1]
+
+    def _empty_kv(self):
+        c = self.cfg
+        shape = (c.n_layers, c.n_attn_heads, c.max_ctx_length, c.head_size)
+        return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+    def generate_codes(self, text: str, config: GenerationConfig):
+        """Text -> (frames, n_heads) int codes (delay-undone, filtered)."""
+        cfg = self.cfg
+        ids = self.tokenizer.tokenize(text)
+        ids.append(self.tokenizer.eos_token)
+        p = self._bucket(len(ids))
+        tokens = np.zeros((p,), np.int32)
+        tokens[: len(ids)] = ids
+        kv_k, kv_v = self._empty_kv()
+        kv_k, kv_v = parler_prefill(cfg, self.weights, jnp.asarray(tokens),
+                                    kv_k, kv_v, use_cross=cfg.use_cross_attn)
+        seed = config.seed if config.seed is not None else np.random.randint(2**31)
+        key = jax.random.PRNGKey(seed)
+        out, n_steps = parler_generate_tokens(
+            cfg, self.weights, jnp.int32(len(ids)), kv_k, kv_v, key,
+            use_cross=cfg.use_cross_attn,
+            do_sample=config.sample, temperature=float(config.temperature),
+            top_k=int(config.top_k), top_p=float(config.top_p),
+            repetition_penalty=float(config.repetition_penalty))
+        n_steps = int(n_steps)
+        return adjust_output_tokens(np.asarray(out), n_steps, cfg)
+
+    def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
+        config = config or GenerationConfig()
+        codes = self.generate_codes(text, config)
+        if self.dac is None or codes.shape[0] == 0:
+            return TTSResponse(np.zeros(0, np.float32), SAMPLE_RATE_DAC)
+        audio = self.dac.decode(codes)
+        return TTSResponse(np.asarray(audio, np.float32), SAMPLE_RATE_DAC)
