@@ -84,7 +84,23 @@ class DACConfig:
         return c
 
 
-def residual_unit(x, u: ResidualUnitWeights, dilation: int, padding: int):
+def _mask(x, valid):
+    """Zero the padded tail: (C, T) with columns >= valid zeroed.
+
+    Masking after every conv makes a bucket-padded decode EXACTLY equal to an
+    exact-length decode on the valid prefix: convs see zeros past the
+    boundary, which is precisely the zero padding an exact-length conv would
+    apply. (snake(0)=0 and residual adds preserve zeros, so only conv biases
+    re-dirty the tail.)
+    """
+    if valid is None:
+        return x
+    t = x.shape[-1]
+    return x * (jnp.arange(t) < valid)[None, :]
+
+
+def residual_unit(x, u: ResidualUnitWeights, dilation: int, padding: int,
+                  valid=None):
     """snake -> (depthwise if grouped) dilated conv -> snake -> 1x1 conv -> +res
     (general_neural_audio_codec.cpp:133-149)."""
     res = x
@@ -92,43 +108,50 @@ def residual_unit(x, u: ResidualUnitWeights, dilation: int, padding: int):
     groups = x.shape[0] if u.in_w.shape[1] == 1 else 1
     h = conv1d(h, u.in_w, u.in_b, padding=padding, dilation=dilation,
                groups=groups)
+    h = _mask(h, valid)
     h = snake_1d(h, u.out_alpha)
     h = conv1d(h, u.out_w, u.out_b)
-    return h + res
+    return _mask(h, valid) + res
 
 
 def codec_layer(x, lw: CodecLayerWeights, stride: int, padding: int,
-                noise=None):
+                noise=None, valid=None):
     """snake -> conv_transpose -> optional noise branch -> residual units
-    (general_neural_audio_codec.cpp:151-164)."""
+    (general_neural_audio_codec.cpp:151-164). valid is the input valid
+    length; output valid length is valid*stride (codec kernels use k=2s,
+    p=s/2 so lengths scale exactly by the stride)."""
     h = snake_1d(x, lw.alpha)
     h = conv_transpose_1d(h, lw.up_w, lw.up_b, stride=stride, padding=padding)
+    v_out = None if valid is None else valid * stride
+    h = _mask(h, v_out)
     if lw.noise_w is not None and noise is not None:
         n = conv1d(h, lw.noise_w)
-        h = h + n * noise
+        h = h + _mask(n, v_out) * noise
     for j, u in enumerate(lw.units):
-        h = residual_unit(h, u, dilation=3 ** j, padding=3 ** (j + 1))
-    return h
+        h = residual_unit(h, u, dilation=3 ** j, padding=3 ** (j + 1),
+                          valid=v_out)
+    return h, v_out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def dac_decode(cfg: DACConfig, w: DACWeights, codes: jax.Array) -> jax.Array:
+def dac_decode(cfg: DACConfig, w: DACWeights, codes: jax.Array,
+               valid=None) -> jax.Array:
     """codes (T, n_heads) int32 -> waveform (T * 512,).
 
-    Padded frames (if T was bucketed) produce garbage tail samples the caller
-    trims.
+    With `valid` (true frame count, traced scalar), bucket-padded decode is
+    exactly equal to an unpadded decode of the first `valid` frames.
     """
     embds = []
     for i, q in enumerate(w.quantizers):
         z = jnp.take(q.codebook, codes[:, i], axis=0)  # (T, dim)
         z = conv1d(z.T, q.out_w, q.out_b)              # 1x1 -> (latent, T)
         embds.append(z)
-    x = sum(embds)
-    x = conv1d(x, w.in_w, w.in_b, padding=3)
+    x = _mask(sum(embds), valid)
+    x = _mask(conv1d(x, w.in_w, w.in_b, padding=3), valid)
     for lw, s, p in zip(w.layers, cfg.strides, cfg.paddings):
-        x = codec_layer(x, lw, s, p)
+        x, valid = codec_layer(x, lw, s, p, valid=valid)
     x = snake_1d(x, w.final_alpha)
-    x = conv1d(x, w.out_w, w.out_b, padding=3)
+    x = _mask(conv1d(x, w.out_w, w.out_b, padding=3), valid)
     return jnp.tanh(x)[0]
 
 
@@ -205,5 +228,6 @@ class DACRunner:
         tb = next((b for b in self.buckets if t <= b), t)
         padded = np.zeros((tb, self.cfg.n_heads), np.int32)
         padded[:t] = codes
-        wav = dac_decode(self.cfg, self.weights, jnp.asarray(padded))
+        wav = dac_decode(self.cfg, self.weights, jnp.asarray(padded),
+                         jnp.int32(t))
         return np.asarray(wav[: t * self.cfg.up_sampling_factor])
