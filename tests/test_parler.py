@@ -59,9 +59,8 @@ def np_ln(x, w, b, eps=1e-5):
 
 
 def _gelu(x):
-    import math
-    from numpy import vectorize
-    return x * 0.5 * (1.0 + np.vectorize(math.erf)(x / np.sqrt(2.0)))
+    # tanh approximation (ggml_gelu)
+    return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
 
 
 def np_attn(q, k, v, mask=None):

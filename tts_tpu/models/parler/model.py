@@ -132,7 +132,7 @@ def _layer_step(cfg: ParlerConfig, lw: ParlerLayerWeights, x, kv_k, kv_v,
         x = x + matmul(attn, lw.co_w)
     h = _layer_norm(x, lw.ln2_w, lw.ln2_b)
     h = matmul(h, lw.fc1)
-    h = jax.nn.gelu(h, approximate=False)
+    h = jax.nn.gelu(h, approximate=True)  # ggml_gelu is the tanh approximation
     x = x + matmul(h, lw.fc2)
     return x, kv_k, kv_v
 
@@ -328,6 +328,7 @@ def load_parler_weights(r: GGUFReader, cfg: ParlerConfig,
         cross_k, cross_v = precompute_cross_kv(cfg, text_encoding, k_ws, v_ws)
     else:
         cfg.use_cross_attn = False
+        k_ws = v_ws = None
         tc = max(cfg.n_encode_length, 1)
         cross_k = jnp.zeros((cfg.n_layers, cfg.n_attn_heads, tc, cfg.head_size))
         cross_v = jnp.zeros_like(cross_k)
@@ -352,7 +353,7 @@ def load_parler_weights(r: GGUFReader, cfg: ParlerConfig,
             heads.scales_t.transpose(1, 0, 2).reshape(heads.scales_t.shape[1], -1),
             heads.qtype)
 
-    return ParlerWeights(
+    weights = ParlerWeights(
         layers=layer_stack,
         embds=embds,
         prompt_embd=get("embed_prompts"),
@@ -361,6 +362,7 @@ def load_parler_weights(r: GGUFReader, cfg: ParlerConfig,
         final_ln_b=get("layer_norm.bias"),
         heads=heads,
     )
+    return weights, k_ws, v_ws
 
 
 class ParlerRunner(TTSRunner):
@@ -368,12 +370,30 @@ class ParlerRunner(TTSRunner):
 
     def __init__(self, cfg: ParlerConfig, weights: ParlerWeights,
                  tokenizer: UnigramTokenizer, dac_runner=None,
-                 prompt_buckets=(64, 128, 256, 512)):
+                 cross_kv_projs=None, prompt_buckets=(64, 128, 256, 512)):
         self.cfg = cfg
         self.weights = weights
         self.tokenizer = tokenizer
         self.dac = dac_runner
+        self.cross_kv_projs = cross_kv_projs  # (k_ws, v_ws) for re-encoding
         self.prompt_buckets = prompt_buckets
+
+    def update_conditional_prompt(self, file_path: str, prompt: str) -> None:
+        """Re-encode the voice-conditioning prompt through an external T5
+        GGUF and rebuild the cross K/V (reference parler
+        update_conditional_prompt, model.cpp:510-518)."""
+        if not self.cfg.use_cross_attn or self.cross_kv_projs is None:
+            raise RuntimeError("cross-attention disabled; cannot set "
+                               "conditional prompt")
+        from ..t5.model import text_encoder_from_file
+        enc = text_encoder_from_file(file_path, self.tokenizer)
+        encoding = jnp.asarray(enc.generate(prompt))
+        self.cfg.n_encode_length = encoding.shape[0]
+        k_ws, v_ws = self.cross_kv_projs
+        cross_k, cross_v = precompute_cross_kv(self.cfg, encoding, k_ws, v_ws)
+        self.weights = self.weights._replace(
+            layers=self.weights.layers._replace(cross_k=cross_k,
+                                                cross_v=cross_v))
 
     def _bucket(self, n: int) -> int:
         for b in self.prompt_buckets:
