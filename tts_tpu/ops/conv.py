@@ -39,11 +39,11 @@ def conv1d(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
 
 def conv_transpose_1d(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
                       stride: int = 1, padding: int = 0,
-                      groups: int = 1) -> jax.Array:
+                      groups: int = 1, output_padding: int = 0) -> jax.Array:
     """torch.nn.functional.conv_transpose1d semantics.
 
     x: (B, C_in, T) or (C_in, T); w: (C_in, C_out/groups, K) (torch layout).
-    Output length = (T-1)*stride - 2*padding + K.
+    Output length = (T-1)*stride - 2*padding + K + output_padding.
 
     Implemented as an input-dilated (fractionally-strided) regular conv with a
     flipped kernel — the standard XLA formulation, which maps to the MXU
@@ -65,7 +65,7 @@ def conv_transpose_1d(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
     out = lax.conv_general_dilated(
         x, wt,
         window_strides=(1,),
-        padding=[(k - 1 - padding, k - 1 - padding)],
+        padding=[(k - 1 - padding, k - 1 - padding + output_padding)],
         lhs_dilation=(stride,),
         dimension_numbers=dn,
         feature_group_count=groups,
