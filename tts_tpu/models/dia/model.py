@@ -318,6 +318,89 @@ def dia_generate_tokens(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v, key,
     return st.out_tokens, st.pos
 
 
+def _dia_init_state(cfg: DiaConfig, key, max_steps: int):
+    nh = cfg.n_output_heads
+    L, nkv, d = cfg.n_decoder_layers, cfg.n_kv_heads, cfg.head_size
+    return DiaDecodeState(
+        kv_k=jnp.zeros((L, 2, nkv, max_steps, d)),
+        kv_v=jnp.zeros((L, 2, nkv, max_steps, d)),
+        pos=jnp.int32(0),
+        tokens_in=jnp.full((nh,), cfg.bos_token_id, jnp.int32),
+        delay_steps=jnp.int32(-1),
+        done=jnp.asarray(False),
+        out_tokens=jnp.zeros((max_steps, nh), jnp.int32),
+        sampler_state=sampling.init_state(nh),
+        key=key,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "max_steps",
+                                             "do_sample", "temperature",
+                                             "top_k", "top_p",
+                                             "repetition_penalty"))
+def dia_decode_chunk(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v,
+                     st: DiaDecodeState, *, n_steps: int, max_steps: int,
+                     do_sample: bool = True, temperature: float = 1.0,
+                     top_k: int = 0, top_p: float = 1.0,
+                     repetition_penalty: float = 1.0):
+    """n_steps decode steps as lax.scan with compute-always + masked updates
+    (Pallas-friendly: no while_loop, no cond around kernels)."""
+    nh = cfg.n_output_heads
+    delay = jnp.asarray(cfg.delay_pattern, jnp.int32)
+
+    def step(st: DiaDecodeState, _):
+        t_in = st.tokens_in
+        ds = st.delay_steps
+        trigger = (ds == -1) & ((t_in[0] == cfg.eos_token_id) |
+                                (st.pos >= max_steps - cfg.max_delay))
+        ds = jnp.where(trigger, cfg.max_delay, ds)
+        in_delay = ds > 0
+        step_after = cfg.max_delay - ds
+        t_in = jnp.where(in_delay & (delay == step_after), cfg.eos_token_id, t_in)
+        t_in = jnp.where(in_delay & (step_after > delay), cfg.pad_token_id, t_in)
+        ds = jnp.where(in_delay, ds - 1, ds)
+        now_done = (ds == 0) | st.done | (st.pos >= max_steps)
+
+        logits, kv_k, kv_v = _dia_decoder_step(
+            cfg, w, cross_k, cross_v, t_in, jnp.minimum(st.pos, max_steps - 1),
+            st.kv_k, st.kv_v)
+        key, sub = jax.random.split(st.key)
+        toks, s_state = sampling.sample_or_greedy(
+            sub, logits, st.sampler_state, do_sample=do_sample,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty)
+        out = jax.lax.dynamic_update_slice(
+            st.out_tokens, toks[None, :], (jnp.minimum(st.pos, max_steps - 1), 0))
+        new_pos = st.pos + 1
+        nxt = jnp.where(new_pos > jnp.arange(nh), toks,
+                        cfg.bos_token_id).astype(jnp.int32)
+        new_st = DiaDecodeState(kv_k, kv_v, new_pos, nxt, ds,
+                                jnp.asarray(False), out, s_state, key)
+        frozen = st._replace(done=jnp.asarray(True))
+        st = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(jnp.reshape(now_done, (1,) * a.ndim), a, b)
+            if a.ndim else jnp.where(now_done, a, b), frozen, new_st)
+        return st, None
+
+    st, _ = jax.lax.scan(step, st, None, length=n_steps)
+    return st
+
+
+def dia_generate_tokens_chunked(cfg: DiaConfig, w: DiaWeights, cross_k,
+                                cross_v, key, *, max_steps: int,
+                                chunk: int = 64, **gen_kw):
+    """Host-chunked Dia generation (early stop between chunks)."""
+    st = _dia_init_state(cfg, key, max_steps)
+    n = 0
+    while n < max_steps + cfg.max_delay + chunk:
+        st = dia_decode_chunk(cfg, w, cross_k, cross_v, st, n_steps=chunk,
+                              max_steps=max_steps, **gen_kw)
+        n += chunk
+        if bool(np.asarray(st.done)):
+            break
+    return st.out_tokens, st.pos
+
+
 def adjust_output_tokens(out: np.ndarray, n_steps: int, cfg: DiaConfig) -> np.ndarray:
     """Delay undo (reference model.cpp:825-847): frame i channel ii reads
     out[i + delay_pattern[ii], ii]; frames with invalid tokens dropped."""
@@ -426,7 +509,7 @@ class DiaRunner(TTSRunner):
         if config.max_tokens and config.max_tokens > cfg.max_delay:
             max_steps = config.max_tokens
         seed = config.seed if config.seed is not None else np.random.randint(2 ** 31)
-        out, n_steps = dia_generate_tokens(
+        out, n_steps = dia_generate_tokens_chunked(
             cfg, self.weights, ck, cv, jax.random.PRNGKey(seed),
             max_steps=max_steps, do_sample=config.sample,
             temperature=float(config.temperature), top_k=int(config.top_k),

@@ -815,7 +815,7 @@ class KokoroRunner(TTSRunner):
         s_half, s_half2 = self._style(voice, n)
         dur, hidden = kokoro_duration(cfg, self.weights, jnp.asarray(toks),
                                       jnp.int32(n), s_half)
-        total = int(np.asarray(jnp.sum(dur)))
+        total = int(np.asarray(dur).sum())
         if total == 0:
             return np.zeros(0, np.float32)
         f = self._bucket(total, self.frame_buckets)

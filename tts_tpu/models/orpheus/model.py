@@ -199,6 +199,66 @@ def orpheus_generate_tokens(cfg: OrpheusConfig, w: OrpheusWeights, first_token,
     return st.out_tokens, st.n_out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "max_steps",
+                                             "do_sample", "temperature",
+                                             "top_k", "top_p",
+                                             "repetition_penalty"))
+def orpheus_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
+                         st: OrpheusState, *, n_steps: int, max_steps: int,
+                         do_sample: bool = True, temperature: float = 1.0,
+                         top_k: int = 0, top_p: float = 1.0,
+                         repetition_penalty: float = 1.0):
+    """n_steps decode steps as lax.scan with masked updates when done."""
+    ctx = st.kv_k.shape[-2]
+    j = jnp.arange(ctx)[None, :]
+
+    def step(st: OrpheusState, _):
+        now_done = st.done | (st.n_out >= max_steps)
+        x = take_rows(w.embd, st.token_in[None])
+        bias = jnp.where(j <= st.pos, 0.0, -jnp.inf)
+        h, kv_k2, kv_v2 = _llama_step(cfg, w, x, st.pos[None], st.kv_k,
+                                      st.kv_v, st.pos, bias)
+        logits = matmul(h, w.head)
+        key, sub = jax.random.split(st.key)
+        toks, s_state = sampling.sample_or_greedy(
+            sub, logits, st.sampler_state, do_sample=do_sample,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty)
+        tok = toks[0]
+        out = st.out_tokens.at[jnp.minimum(st.n_out, max_steps - 1)].set(tok)
+        new_st = OrpheusState(kv_k2, kv_v2, st.pos + 1, tok, st.n_out + 1,
+                              tok == cfg.stopping_token_id, out, s_state, key)
+        frozen = st._replace(done=st.done | now_done)
+        st = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(jnp.reshape(now_done, (1,) * a.ndim), a, b)
+            if a.ndim else jnp.where(now_done, a, b), frozen, new_st)
+        return st, None
+
+    st, _ = jax.lax.scan(step, st, None, length=n_steps)
+    return st
+
+
+def orpheus_generate_tokens_chunked(cfg: OrpheusConfig, w: OrpheusWeights,
+                                    first_token, prompt_len, kv_k, kv_v, key,
+                                    *, max_steps: int, chunk: int = 64,
+                                    **gen_kw):
+    out0 = jnp.zeros((max_steps,), jnp.int32).at[0].set(first_token)
+    st = OrpheusState(
+        kv_k=kv_k, kv_v=kv_v, pos=jnp.int32(prompt_len),
+        token_in=jnp.asarray(first_token, jnp.int32), n_out=jnp.int32(1),
+        done=jnp.asarray(first_token == cfg.stopping_token_id).reshape(()),
+        out_tokens=out0, sampler_state=sampling.init_state(1),
+        key=key)
+    n = 1
+    while n < max_steps + chunk:
+        st = orpheus_decode_chunk(cfg, w, st, n_steps=chunk,
+                                  max_steps=max_steps, **gen_kw)
+        n += chunk
+        if bool(np.asarray(st.done)):
+            break
+    return st.out_tokens, st.n_out
+
+
 def prepare_output_tokens(out: np.ndarray, n_out: int) -> list:
     """Redistribute flat tokens into 3 SNAC heads with offset undo
     (model.cpp:371-387): slot ii of each 7-group maps to head HEAD_MAP[ii],
@@ -285,8 +345,8 @@ class OrpheusRunner(TTSRunner):
             do_sample=config.sample, temperature=float(config.temperature),
             top_k=int(config.top_k), top_p=float(config.top_p),
             repetition_penalty=float(config.repetition_penalty))
-        out, n_out = orpheus_generate_tokens(
-            cfg, self.weights, first[0], jnp.int32(len(ids)), kv_k, kv_v, key,
+        out, n_out = orpheus_generate_tokens_chunked(
+            cfg, self.weights, first[0], len(ids), kv_k, kv_v, key,
             max_steps=cfg.max_generation_size, do_sample=config.sample,
             temperature=float(config.temperature), top_k=int(config.top_k),
             top_p=float(config.top_p),

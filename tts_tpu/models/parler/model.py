@@ -188,37 +188,13 @@ class DecodeState(NamedTuple):
     key: Any
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_cross", "do_sample",
-                                             "temperature", "top_k", "top_p",
-                                             "repetition_penalty"))
-def parler_generate_tokens(cfg: ParlerConfig, w: ParlerWeights, prompt_len,
-                           kv_k, kv_v, key, *, use_cross: bool = True,
-                           do_sample: bool = True, temperature: float = 1.0,
-                           top_k: int = 0, top_p: float = 1.0,
-                           repetition_penalty: float = 1.0):
-    """Full on-device AR generation loop. Returns (out_tokens, n_steps)."""
+def _parler_decode_body(cfg: ParlerConfig, w: ParlerWeights, ctx: int, *,
+                        use_cross, do_sample, temperature, top_k, top_p,
+                        repetition_penalty):
+    """One decode step: DecodeState -> DecodeState (shared by the while-loop
+    and the chunked-scan drivers)."""
     nh = cfg.n_output_heads
-    max_steps = cfg.max_generation_size
-
-    st0 = DecodeState(
-        kv_k=kv_k, kv_v=kv_v,
-        pos=prompt_len.astype(jnp.int32),
-        step=jnp.int32(0),
-        tokens_in=jnp.full((nh,), cfg.bos_token_id, jnp.int32),
-        eos_seen=jnp.zeros((nh,), bool),
-        out_tokens=jnp.zeros((max_steps, nh), jnp.int32),
-        sampler_state=sampling.init_state(nh),
-        key=key,
-    )
-
-    ctx = kv_k.shape[-2]
     j = jnp.arange(ctx)[None, :]
-
-    def cond(st: DecodeState):
-        # reference check_stopping (model.cpp:715-732): stop at max position
-        # or when every channel latched EOS (only checked once outputs exist)
-        return ((st.step == 0) | ~jnp.all(st.eos_seen)) & \
-            (st.pos < max_steps) & (st.step < max_steps)
 
     def body(st: DecodeState):
         # embed: sum the 9 per-codebook embeddings + positional
@@ -245,7 +221,99 @@ def parler_generate_tokens(cfg: ParlerConfig, w: ParlerWeights, prompt_len,
         return DecodeState(kv_k2, kv_v2, st.pos + 1, st.step + 1, nxt, eos,
                            out, s_state, key)
 
-    st = jax.lax.while_loop(cond, body, st0)
+    return body
+
+
+def _parler_not_done(cfg: ParlerConfig, st: DecodeState):
+    # reference check_stopping (model.cpp:715-732): stop at max position or
+    # when every channel latched EOS (only checked once outputs exist)
+    max_steps = cfg.max_generation_size
+    return ((st.step == 0) | ~jnp.all(st.eos_seen)) & \
+        (st.pos < max_steps) & (st.step < max_steps)
+
+
+def _parler_init_state(cfg: ParlerConfig, prompt_len, kv_k, kv_v, key):
+    nh = cfg.n_output_heads
+    return DecodeState(
+        kv_k=kv_k, kv_v=kv_v,
+        pos=prompt_len.astype(jnp.int32),
+        step=jnp.int32(0),
+        tokens_in=jnp.full((nh,), cfg.bos_token_id, jnp.int32),
+        eos_seen=jnp.zeros((nh,), bool),
+        out_tokens=jnp.zeros((cfg.max_generation_size, nh), jnp.int32),
+        sampler_state=sampling.init_state(nh),
+        key=key,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_cross", "do_sample",
+                                             "temperature", "top_k", "top_p",
+                                             "repetition_penalty"))
+def parler_generate_tokens(cfg: ParlerConfig, w: ParlerWeights, prompt_len,
+                           kv_k, kv_v, key, *, use_cross: bool = True,
+                           do_sample: bool = True, temperature: float = 1.0,
+                           top_k: int = 0, top_p: float = 1.0,
+                           repetition_penalty: float = 1.0):
+    """Full on-device AR generation as one lax.while_loop.
+
+    Returns (out_tokens, n_steps). NOTE: some TPU toolchains compile Pallas
+    kernels inside while_loop pathologically slowly; quantized weights should
+    prefer `parler_generate_tokens_chunked`.
+    """
+    st0 = _parler_init_state(cfg, prompt_len, kv_k, kv_v, key)
+    body = _parler_decode_body(
+        cfg, w, kv_k.shape[-2], use_cross=use_cross, do_sample=do_sample,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty)
+    st = jax.lax.while_loop(lambda s: _parler_not_done(cfg, s), body, st0)
+    return st.out_tokens, st.step
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "use_cross",
+                                             "do_sample", "temperature",
+                                             "top_k", "top_p",
+                                             "repetition_penalty"))
+def parler_decode_chunk(cfg: ParlerConfig, w: ParlerWeights, st: DecodeState,
+                        *, n_steps: int, use_cross: bool = True,
+                        do_sample: bool = True, temperature: float = 1.0,
+                        top_k: int = 0, top_p: float = 1.0,
+                        repetition_penalty: float = 1.0):
+    """n_steps decode steps as a lax.scan (fixed trip count -> Pallas-friendly
+    on every backend); finished state passes through unchanged."""
+    body = _parler_decode_body(
+        cfg, w, st.kv_k.shape[-2], use_cross=use_cross, do_sample=do_sample,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty)
+
+    def step(st, _):
+        keep = _parler_not_done(cfg, st)
+        st2 = body(st)
+        st = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep, b, a) if a.ndim == 0 else
+            jnp.where(jnp.reshape(keep, (1,) * a.ndim), b, a), st, st2)
+        return st, None
+
+    st, _ = jax.lax.scan(step, st, None, length=n_steps)
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _parler_not_done_jit(cfg: ParlerConfig, step, eos_seen, pos):
+    max_steps = cfg.max_generation_size
+    return ((step == 0) | ~jnp.all(eos_seen)) & (pos < max_steps) & \
+        (step < max_steps)
+
+
+def parler_generate_tokens_chunked(cfg: ParlerConfig, w: ParlerWeights,
+                                   prompt_len, kv_k, kv_v, key,
+                                   chunk: int = 64, **gen_kw):
+    """Host-chunked generation: jitted scan chunks with early stop between
+    chunks (one host sync per `chunk` steps)."""
+    st = _parler_init_state(cfg, jnp.int32(prompt_len), kv_k, kv_v, key)
+    while True:
+        st = parler_decode_chunk(cfg, w, st, n_steps=chunk, **gen_kw)
+        if not bool(_parler_not_done_jit(cfg, st.step, st.eos_seen, st.pos)):
+            break
     return st.out_tokens, st.step
 
 
@@ -419,8 +487,8 @@ class ParlerRunner(TTSRunner):
                                     kv_k, kv_v, use_cross=cfg.use_cross_attn)
         seed = config.seed if config.seed is not None else np.random.randint(2**31)
         key = jax.random.PRNGKey(seed)
-        out, n_steps = parler_generate_tokens(
-            cfg, self.weights, jnp.int32(len(ids)), kv_k, kv_v, key,
+        out, n_steps = parler_generate_tokens_chunked(
+            cfg, self.weights, len(ids), kv_k, kv_v, key,
             use_cross=cfg.use_cross_attn,
             do_sample=config.sample, temperature=float(config.temperature),
             top_k=int(config.top_k), top_p=float(config.top_p),
