@@ -181,7 +181,10 @@ class GGUFReader:
 
     def close(self) -> None:
         if isinstance(self._mm, mmap.mmap):
-            self._mm.close()
+            try:
+                self._mm.close()
+            except BufferError:
+                pass  # zero-copy views still alive; mmap freed with them
         self._f.close()
 
     def __enter__(self):

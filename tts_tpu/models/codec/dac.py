@@ -74,13 +74,17 @@ class DACConfig:
             ["dac.up_sampling_factor", "up_sampling_factor",
              "dac.up_scaling_factor"], c.up_sampling_factor))
         strides, paddings = [], []
-        for i in range(c.n_layers):
+        i = 0
+        while True:
             s = r.first_key([f"dac.dac_layer_stride_{i}", f"dac_layer_stride_{i}"])
             p = r.first_key([f"dac.dac_layer_padding_{i}", f"dac_layer_padding_{i}"])
             if s is None or p is None:
-                s, p = c.strides[i], c.paddings[i]
+                break
             strides.append(int(s)); paddings.append(int(p))
-        c.strides, c.paddings = tuple(strides), tuple(paddings)
+            i += 1
+        if strides:
+            c.strides, c.paddings = tuple(strides), tuple(paddings)
+            c.n_layers = len(strides)
         return c
 
 
