@@ -1,0 +1,152 @@
+"""Server integration tests over real HTTP with the dummy + tiny parler
+models (reference exercises the stack the same way via test:dummy)."""
+import json
+import threading
+import time
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+from tts_tpu.audio.wav import decode_wav
+from tts_tpu.common import GenerationConfig
+from tts_tpu.server.server import TTSServer, build_server, serve
+
+
+@pytest.fixture(scope="module")
+def dummy_server():
+    srv = TTSServer({"dummy": "test:dummy"}, "dummy", GenerationConfig(),
+                    n_parallel=2, timeout=60)
+    httpd = serve(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    for _ in range(100):
+        if srv.state == "READY":
+            break
+        time.sleep(0.05)
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, r.read(), r.headers.get("Content-Type", "")
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read(), r.headers.get("Content-Type", "")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type", "")
+
+
+def test_health(dummy_server):
+    code, body, _ = _get(dummy_server + "/health")
+    assert code == 200
+    assert json.loads(body)["status"] == "ok"
+
+
+def test_index(dummy_server):
+    code, body, mime = _get(dummy_server + "/")
+    assert code == 200 and b"tts" in body and "html" in mime
+
+
+def test_models(dummy_server):
+    code, body, _ = _get(dummy_server + "/v1/models")
+    data = json.loads(body)
+    assert code == 200
+    assert data["object"] == "list"
+    assert data["data"][0]["id"] == "dummy"
+
+
+def test_voices(dummy_server):
+    code, body, _ = _get(dummy_server + "/v1/audio/voices")
+    assert code == 200
+    assert "voices" in json.loads(body)
+
+
+def test_speech_wav(dummy_server):
+    code, body, mime = _post(dummy_server + "/v1/audio/speech",
+                             {"input": "ab"})
+    assert code == 200 and mime == "audio/wav"
+    audio, rate = decode_wav(body)
+    assert rate == 44100
+    assert len(audio) == 2 * 44100
+
+
+def test_speech_aiff(dummy_server):
+    code, body, mime = _post(dummy_server + "/v1/audio/speech",
+                             {"input": "a", "response_format": "aiff"})
+    assert code == 200 and mime == "audio/aiff"
+    assert body[:4] == b"FORM"
+
+
+def test_speech_missing_input(dummy_server):
+    code, body, _ = _post(dummy_server + "/v1/audio/speech", {})
+    assert code == 400
+    assert json.loads(body)["error"]["type"] == "invalid_request_error"
+
+
+def test_speech_bad_format(dummy_server):
+    code, body, _ = _post(dummy_server + "/v1/audio/speech",
+                          {"input": "x", "response_format": "mp3"})
+    assert code == 501
+
+
+def test_speech_bad_model(dummy_server):
+    code, body, _ = _post(dummy_server + "/v1/audio/speech",
+                          {"input": "x", "model": "nope"})
+    assert code == 400
+
+
+def test_404(dummy_server):
+    try:
+        code, body, _ = _get(dummy_server + "/nope")
+    except urllib.error.HTTPError as e:
+        code, body = e.code, e.read()
+    assert code == 404
+    assert json.loads(body)["error"]["type"] == "not_found_error"
+
+
+def test_concurrent_requests(dummy_server):
+    results = []
+
+    def hit():
+        code, body, _ = _post(dummy_server + "/v1/audio/speech", {"input": "a"})
+        results.append(code)
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [200] * 4
+
+
+def test_parler_model_server(tmp_path, rng):
+    from tests.test_e2e_parler import make_tiny_parler_gguf
+    path = tmp_path / "tiny.gguf"
+    make_tiny_parler_gguf(str(path), rng)
+    srv = build_server(str(tmp_path), config=GenerationConfig(sample=False))
+    httpd = serve(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(600):
+        if srv.state == "READY":
+            break
+        time.sleep(0.1)
+    assert srv.state == "READY"
+    code, body, _ = _get(base + "/v1/models")
+    assert json.loads(body)["data"][0]["id"] == "tiny"
+    code, body, mime = _post(base + "/v1/audio/speech",
+                             {"input": "hello world", "seed": 0})
+    assert code in (200, 500)  # tiny random model may emit zero valid frames
+    if code == 200:
+        assert mime == "audio/wav"
+    httpd.shutdown()

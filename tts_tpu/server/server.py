@@ -1,0 +1,374 @@
+"""tts-server — OpenAI-compatible HTTP TTS server.
+
+Parity: reference examples/server/server.cpp: routes GET /, /health,
+/v1/models, /v1/audio/voices, POST /v1/audio/speech and
+/v1/audio/conditional-prompt; multi-model directories with per-request
+`model` selection; per-request sampling overrides; WAV/AIFF responses;
+OpenAI-style error JSON; LOADING-state 503; worker pool with a task queue.
+
+Architecture notes vs the reference: the reference scales with
+`--n-parallelism` full model REPLICAS each on its own thread
+(server.cpp:885-897). Here workers share one loaded model per model-id by
+default (jitted functions are reentrant; XLA serializes on-device work), so
+N workers cost one copy of the weights — the replica knob instead controls
+request-level concurrency. Cross-request continuous batching on-device is
+the planned next step (SURVEY §2.8).
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import queue
+import sys
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..audio.wav import encode_aiff, encode_wav
+from ..common import GenerationConfig
+from ..models.registry import runner_from_file
+
+MIMETYPE_JSON = "application/json; charset=utf-8"
+MIMETYPE_WAV = "audio/wav"
+MIMETYPE_AIFF = "audio/aiff"
+MIMETYPE_HTML = "text/html; charset=utf-8"
+
+ERROR_TYPES = {
+    400: "invalid_request_error",
+    401: "authentication_error",
+    403: "permission_error",
+    404: "not_found_error",
+    500: "server_error",
+    501: "not_supported_error",
+    503: "unavailable_error",
+}
+
+INDEX_HTML = """<!doctype html>
+<html><head><title>tts_tpu server</title></head>
+<body><h1>tts_tpu TTS server</h1>
+<p>POST /v1/audio/speech with {"input": "text", "voice": "...", "model": "..."}.</p>
+<p>GET /v1/models, /v1/audio/voices, /health.</p></body></html>"""
+
+
+def format_error(message: str, code: int) -> dict:
+    return {"error": {"code": code, "message": message,
+                      "type": ERROR_TYPES.get(code, "server_error")}}
+
+
+class ServerTask:
+    def __init__(self, prompt: str, config: GenerationConfig, model: str):
+        self.id = uuid.uuid4().hex
+        self.prompt = prompt
+        self.config = config
+        self.model = model
+        self.event = threading.Event()
+        self.success = False
+        self.message = ""
+        self.audio: Optional[np.ndarray] = None
+        self.sample_rate = 0
+
+
+class TTSServer:
+    def __init__(self, model_map: Dict[str, str], default_model: str,
+                 default_config: GenerationConfig, n_parallel: int = 1,
+                 text_encoder_path: str = "", timeout: float = 300.0):
+        self.model_map = model_map
+        self.default_model = default_model
+        self.default_config = default_config
+        self.n_parallel = max(1, n_parallel)
+        self.text_encoder_path = text_encoder_path
+        self.timeout = timeout
+        self.state = "LOADING"
+        self.runners: Dict[str, object] = {}
+        self.queue: "queue.Queue[ServerTask]" = queue.Queue()
+        self.workers = []
+        self.created = int(time.time())
+        self._lock = threading.Lock()
+
+    # -- lifecycle -----------------------------------------------------------
+    def load(self) -> None:
+        for model_id, path in self.model_map.items():
+            self.runners[model_id] = runner_from_file(path, self.default_config)
+        for i in range(self.n_parallel):
+            t = threading.Thread(target=self._worker_loop, daemon=True,
+                                 name=f"tts-worker-{i}")
+            t.start()
+            self.workers.append(t)
+        self.state = "READY"
+
+    def _worker_loop(self) -> None:
+        while True:
+            task = self.queue.get()
+            if task is None:
+                return
+            try:
+                runner = self.runners[task.model]
+                resp = runner.generate(task.prompt, task.config)
+                task.audio = resp.audio
+                task.sample_rate = resp.sample_rate
+                task.success = True
+            except Exception as e:  # noqa: BLE001
+                task.message = str(e)
+                task.success = False
+            task.event.set()
+
+    def submit(self, task: ServerTask) -> ServerTask:
+        self.queue.put(task)
+        if not task.event.wait(self.timeout):
+            task.success = False
+            task.message = "request timed out"
+        return task
+
+    # -- model metadata ------------------------------------------------------
+    def models_json(self) -> dict:
+        return {"object": "list", "data": [
+            {"id": mid, "object": "model", "created": self.created,
+             "owned_by": "tts_tpu"} for mid in sorted(self.model_map)]}
+
+    def voices_json(self) -> dict:
+        voices = {}
+        for mid, runner in self.runners.items():
+            try:
+                voices[mid] = [str(v) for v in runner.list_voices()]
+            except Exception:
+                voices[mid] = []
+        return {"voices": voices}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_obj: TTSServer = None  # injected
+
+    # -- helpers -------------------------------------------------------------
+    def _send(self, code: int, body: bytes, mime: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", mime)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Access-Control-Allow-Origin",
+                         self.headers.get("Origin", "*"))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, data: dict) -> None:
+        self._send(code, json.dumps(data).encode(), MIMETYPE_JSON)
+
+    def _error(self, message: str, code: int) -> None:
+        self._send_json(code, format_error(message, code))
+
+    def log_message(self, fmt, *args):  # quiet structured-ish log
+        sys.stderr.write("request: %s\n" % (fmt % args))
+
+    def _check_ready(self) -> bool:
+        if self.server_obj.state == "LOADING":
+            self._error("Loading model", 503)
+            return False
+        return True
+
+    # -- routes --------------------------------------------------------------
+    def do_OPTIONS(self):
+        self.send_response(200)
+        self.send_header("Access-Control-Allow-Credentials", "true")
+        self.send_header("Access-Control-Allow-Methods", "GET, POST")
+        self.send_header("Access-Control-Allow-Headers", "*")
+        self.end_headers()
+
+    def do_GET(self):
+        if self.path == "/":
+            self._send(200, INDEX_HTML.encode(), MIMETYPE_HTML)
+            return
+        if self.path == "/health":
+            self._send_json(200, {"status": "ok"})
+            return
+        if not self._check_ready():
+            return
+        if self.path == "/v1/models":
+            self._send_json(200, self.server_obj.models_json())
+            return
+        if self.path == "/v1/audio/voices":
+            self._send_json(200, self.server_obj.voices_json())
+            return
+        self._error("File Not Found", 404)
+
+    def do_POST(self):
+        if not self._check_ready():
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            data = json.loads(self.rfile.read(length) or b"{}")
+        except Exception:
+            self._error("invalid JSON body", 400)
+            return
+        if self.path == "/v1/audio/speech":
+            self._handle_tts(data)
+        elif self.path == "/v1/audio/conditional-prompt":
+            self._handle_conditional(data)
+        else:
+            self._error("File Not Found", 404)
+
+    def _handle_tts(self, data: dict) -> None:
+        srv = self.server_obj
+        if not isinstance(data.get("input"), str):
+            self._error("the 'input' field is required for tts generation "
+                        "and must be passed as a string.", 400)
+            return
+        prompt = data["input"]
+        if not prompt:
+            self._error("the 'input' field must be a non empty string", 400)
+            return
+        fmt = data.get("response_format", "wav")
+        if fmt not in ("wav", "wave", "aiff"):
+            self._error("Currently 'wav' and 'aiff' are the only supported "
+                        "formats for the 'response_format' field.", 501)
+            return
+        import dataclasses
+        conf = dataclasses.replace(srv.default_config)
+        if isinstance(data.get("temperature"), (int, float)):
+            conf.temperature = float(data["temperature"])
+        if isinstance(data.get("top_k"), (int, float)):
+            conf.top_k = int(data["top_k"])
+        if isinstance(data.get("top_p"), (int, float)):
+            conf.top_p = float(data["top_p"])
+        if isinstance(data.get("repetition_penalty"), (int, float)):
+            conf.repetition_penalty = float(data["repetition_penalty"])
+        if isinstance(data.get("voice"), str):
+            conf.voice = data["voice"]
+        if isinstance(data.get("seed"), int):
+            conf.seed = data["seed"]
+        model = data.get("model", srv.default_model)
+        if model not in srv.model_map:
+            self._error(f"Invalid Model: {model}", 400)
+            return
+        task = srv.submit(ServerTask(prompt, conf, model))
+        if not task.success:
+            self._error(task.message or "generation failed", 500)
+            return
+        if task.audio is None or len(task.audio) == 0:
+            self._error("Model returned an empty response.", 500)
+            return
+        if fmt == "aiff":
+            body = encode_aiff(task.audio, task.sample_rate)
+            self._send(200, body, MIMETYPE_AIFF)
+        else:
+            body = encode_wav(task.audio, task.sample_rate)
+            self._send(200, body, MIMETYPE_WAV)
+
+    def _handle_conditional(self, data: dict) -> None:
+        srv = self.server_obj
+        if srv.n_parallel > 1:
+            self._error("conditional prompts cannot be updated with "
+                        "parallelism greater than 1", 400)
+            return
+        if not srv.text_encoder_path:
+            self._error("the server was started without a text encoder "
+                        "path; conditional prompts are unsupported", 501)
+            return
+        prompt = data.get("conditional_prompt")
+        if not isinstance(prompt, str) or not prompt:
+            self._error("the 'conditional_prompt' field is required and must "
+                        "be a non empty string", 400)
+            return
+        model = data.get("model", srv.default_model)
+        if model not in srv.model_map:
+            self._error(f"Invalid Model: {model}", 400)
+            return
+        try:
+            srv.runners[model].update_conditional_prompt(
+                srv.text_encoder_path, prompt)
+        except Exception as e:  # noqa: BLE001
+            self._error(str(e), 500)
+            return
+        self._send_json(200, {"success": True})
+
+
+def build_server(model_path: str, default_model: str = "",
+                 config: Optional[GenerationConfig] = None,
+                 n_parallel: int = 1, text_encoder_path: str = "",
+                 timeout: float = 300.0) -> TTSServer:
+    model_map: Dict[str, str] = {}
+    if os.path.isdir(model_path):
+        for entry in sorted(os.listdir(model_path)):
+            if entry.endswith(".gguf"):
+                model_map[os.path.splitext(entry)[0]] = os.path.join(model_path, entry)
+        if not model_map:
+            raise ValueError(f"No model found in directory {model_path}")
+    else:
+        stem = os.path.splitext(os.path.basename(model_path))[0]
+        model_map[stem] = model_path
+    if default_model:
+        stem = os.path.splitext(os.path.basename(default_model))[0]
+        if stem not in model_map:
+            raise ValueError(f"Invalid Default Model Provided: {stem}")
+        default = stem
+    else:
+        default = sorted(model_map)[0]
+    return TTSServer(model_map, default, config or GenerationConfig(),
+                     n_parallel=n_parallel, text_encoder_path=text_encoder_path,
+                     timeout=timeout)
+
+
+def serve(server: TTSServer, host: str = "127.0.0.1", port: int = 8080):
+    handler = type("BoundHandler", (_Handler,), {"server_obj": server})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=server.load, daemon=True)
+    t.start()
+    return httpd
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tts-server")
+    p.add_argument("--model-path", "-mp", required=True)
+    p.add_argument("--default-model", "-dm", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", "-p", type=int, default=8080)
+    p.add_argument("--temperature", "-t", type=float, default=1.0)
+    p.add_argument("--topk", "-tk", type=int, default=50)
+    p.add_argument("--top-p", "-tp", type=float, default=1.0)
+    p.add_argument("--repetition-penalty", "-r", type=float, default=1.0)
+    p.add_argument("--voice", "-v", default="")
+    p.add_argument("--espeak-voice-id", "-eid", default="")
+    p.add_argument("--no-cross-attn", "-ca", action="store_true")
+    p.add_argument("--text-encoder-path", "-tep", default="")
+    p.add_argument("--n-parallelism", "-np", type=int, default=1)
+    p.add_argument("--timeout", type=int, default=300)
+    # accepted for reference compatibility; no-ops on TPU
+    p.add_argument("--n-threads", "-nt", type=int, default=0)
+    p.add_argument("--n-http-threads", "-ht", type=int, default=0)
+    p.add_argument("--use-metal", "-m", action="store_true")
+    p.add_argument("--ssl-file-cert", "-sfc", default="")
+    p.add_argument("--ssl-file-key", "-sfk", default="")
+    args = p.parse_args(argv)
+    if not (0.0 < args.top_p <= 1.0):
+        print("The '--top-p' value must be between 0.0 and 1.0.", file=sys.stderr)
+        return 1
+    config = GenerationConfig(
+        voice=args.voice, top_k=args.topk, temperature=args.temperature,
+        repetition_penalty=args.repetition_penalty,
+        use_cross_attn=not args.no_cross_attn,
+        espeak_voice_id=args.espeak_voice_id, top_p=args.top_p)
+    server = build_server(args.model_path, args.default_model, config,
+                          n_parallel=args.n_parallelism,
+                          text_encoder_path=args.text_encoder_path,
+                          timeout=args.timeout)
+    httpd = serve(server, args.host, args.port)
+    if args.ssl_file_cert and args.ssl_file_key:
+        import ssl
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(args.ssl_file_cert, args.ssl_file_key)
+        httpd.socket = ctx.wrap_socket(httpd.socket, server_side=True)
+        print(f"Running with SSL: key = {args.ssl_file_key}, "
+              f"cert = {args.ssl_file_cert}")
+    print(f"tts-server listening on {args.host}:{args.port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
