@@ -129,8 +129,11 @@ def quantize_gguf(in_path: str, out_path: str, params: QuantizationParams,
         # rows must be divisible by the 32-wide block (quantize_impl.cpp
         # validates rows the same way)
         if wants_quant and row % quants.QK == 0 and len(ti.shape) >= 2:
+            from .. import native
             arr = np.array(r.array(name), np.float32, copy=True)
-            w.add_tensor(name, arr, params.quantize_type)
+            payload = native.quantize(arr, params.quantize_type)
+            w.add_raw_tensor(name, ti.shape, params.quantize_type,
+                             bytes(payload))
             log(f"quantized {name} -> {quants.TYPE_NAMES[params.quantize_type]}")
         elif (params.quantize_type == quants.GGML_TYPE_F16 and
               is_quantizable(arch, name, params)) or \

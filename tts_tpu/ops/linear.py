@@ -55,10 +55,13 @@ def from_gguf_tensor(reader, name: str, transpose_last2: bool = False) -> Weight
     """
     ti = reader.tensors[name]
     if quants.is_quantized(ti.ggml_type):
-        codes, scales = reader.planar(name)
-        if codes.ndim != 2:
-            raise ValueError(f"quantized tensor {name} must be 2D, got {codes.shape}")
-        return QuantTensor.from_planar(codes, scales, ti.ggml_type)
+        if len(ti.shape) != 2:
+            raise ValueError(f"quantized tensor {name} must be 2D, got {ti.shape}")
+        from .. import native
+        codes_t, scales_t = native.unpack_planar_transposed(
+            reader.raw(name), ti.ggml_type, ti.shape)
+        return QuantTensor(jnp.asarray(codes_t), jnp.asarray(scales_t),
+                           ti.ggml_type)
     arr = np.asarray(reader.array(name), dtype=np.float32)
     return jnp.asarray(arr)
 
