@@ -91,19 +91,19 @@ def main() -> None:
     tokens = jnp.asarray(rng.integers(0, 900, prompt_len).astype(np.int32))
     key = jax.random.PRNGKey(0)
 
-    def run():
+    def run(k):
         kv_k, kv_v = parler_prefill(cfg, weights, tokens, kv_k0, kv_v0)
         out, steps = parler_generate_tokens_chunked(
-            cfg, weights, prompt_len, kv_k, kv_v, key,
+            cfg, weights, prompt_len, kv_k, kv_v, k,
             do_sample=True, temperature=1.0, top_k=50)
-        return out, steps
+        # force full materialization: block_until_ready is unreliable on the
+        # axon remote platform, and identical re-runs can be served from a
+        # relay cache — hence the distinct PRNG key per run and the D2H sum
+        return int(np.asarray(out).sum()), int(steps)
 
-    out, steps = run()  # compile + warm
-    steps.block_until_ready()
-    n = int(steps)
+    _, n = run(jax.random.PRNGKey(0))  # compile + warm
     t0 = time.perf_counter()
-    out, steps = run()
-    steps.block_until_ready()
+    _, n = run(jax.random.PRNGKey(1))
     wall = time.perf_counter() - t0
 
     audio_s = n * SAMPLES_PER_STEP / SAMPLE_RATE

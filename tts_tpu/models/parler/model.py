@@ -121,7 +121,12 @@ def _layer_step(cfg: ParlerConfig, lw: ParlerLayerWeights, x, kv_k, kv_v,
     v = _split_heads(matmul(h, lw.v_w), cfg.n_attn_heads)
     kv_k = jax.lax.dynamic_update_slice(kv_k, k.astype(kv_k.dtype), (0, pos, 0))
     kv_v = jax.lax.dynamic_update_slice(kv_v, v.astype(kv_v.dtype), (0, pos, 0))
-    attn = sdpa(q, kv_k, kv_v, bias=attn_bias)          # (heads, T, D)
+    if t == 1:
+        # decode step: paged flash attention reads only pages up to pos
+        from ...ops.decode_attention import decode_attention
+        attn = decode_attention(q[:, 0, :], kv_k, kv_v, pos)[:, None, :]
+    else:
+        attn = sdpa(q, kv_k, kv_v, bias=attn_bias)      # (heads, T, D)
     attn = attn.transpose(1, 0, 2).reshape(t, cfg.hidden_size)
     x = x + matmul(attn, lw.o_w)
     if use_cross:
