@@ -213,16 +213,16 @@ def _dia_decoder_step(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v,
         k = apply_rope_neox(k, posv)
         kk = jax.lax.dynamic_update_slice(kk, k.astype(kk.dtype), (0, 0, pos, 0))
         vv = jax.lax.dynamic_update_slice(vv, v.astype(vv.dtype), (0, 0, pos, 0))
-        # GQA without materializing repeats; kv head j serves q heads
-        # [j*g, (j+1)*g) — same mapping as the reference repeat_interleave
-        g = nh // nkv
-        qs = q.reshape(2, nkv, g, 1, -1)
-        logits = jnp.einsum("bhgqd,bhkd->bhgqk", qs, kk,
-                            preferred_element_type=jnp.float32)
-        logits = logits + jmask                            # scale 1.0
-        probs = jax.nn.softmax(logits, axis=-1)
-        a = jnp.einsum("bhgqk,bhkd->bhgqd", probs, vv)
-        a = a.reshape(2, nh, 1, -1).transpose(0, 2, 1, 3).reshape(2, 1, -1)
+        # paged decode attention with merged (batch, head) leading dim; the
+        # GQA group mapping (kv head j -> q heads [j*g,(j+1)*g)) matches the
+        # reference repeat_interleave. Dia uses softmax scale 1.0.
+        from ...ops.decode_attention import decode_attention
+        d = q.shape[-1]
+        ctx2 = kk.shape[2]
+        a = decode_attention(q[:, :, 0, :].reshape(2 * nh, d),
+                             kk.reshape(2 * nkv, ctx2, d),
+                             vv.reshape(2 * nkv, ctx2, d), pos, scale=1.0)
+        a = a.reshape(2, nh, d).reshape(2, 1, nh * d)
         xc = xc + matmul(a, lw.self_o)
         # cross attention (full MHA over padded encoder context, no mask)
         h = _rms(xc, lw.ca_norm)

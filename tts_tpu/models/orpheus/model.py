@@ -104,15 +104,20 @@ def _llama_step(cfg: OrpheusConfig, w: OrpheusWeights, x, positions, kv_k,
                             freq_factors=w.rope_freqs)
         kk = jax.lax.dynamic_update_slice(kk, k.astype(kk.dtype), (0, pos, 0))
         vv = jax.lax.dynamic_update_slice(vv, v.astype(vv.dtype), (0, pos, 0))
-        g = nh // nkv
-        qs = q.reshape(nkv, g, t, -1)
         scale = 1.0 / np.sqrt(cfg.head_size)
-        logits = jnp.einsum("hgqd,hkd->hgqk", qs, kk,
-                            preferred_element_type=jnp.float32) * scale
-        logits = logits + attn_bias
-        probs = jax.nn.softmax(logits, axis=-1)
-        a = jnp.einsum("hgqk,hkd->hgqd", probs, vv)
-        a = a.reshape(nh, t, -1).transpose(1, 0, 2).reshape(t, -1)
+        if t == 1:
+            from ...ops.decode_attention import decode_attention
+            a = decode_attention(q[:, 0, :], kk, vv, pos, scale=scale)
+            a = a.reshape(1, nh * q.shape[-1])
+        else:
+            g = nh // nkv
+            qs = q.reshape(nkv, g, t, -1)
+            logits = jnp.einsum("hgqd,hkd->hgqk", qs, kk,
+                                preferred_element_type=jnp.float32) * scale
+            logits = logits + attn_bias
+            probs = jax.nn.softmax(logits, axis=-1)
+            a = jnp.einsum("hgqk,hkd->hgqd", probs, vv)
+            a = a.reshape(nh, t, -1).transpose(1, 0, 2).reshape(t, -1)
         xc = xc + matmul(a, lw.o)
         h = _rms(xc, lw.post_norm)
         xc = xc + matmul(jax.nn.silu(matmul(h, lw.gate)) * matmul(h, lw.up),

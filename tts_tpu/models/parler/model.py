@@ -508,3 +508,54 @@ class ParlerRunner(TTSRunner):
             return TTSResponse(np.zeros(0, np.float32), SAMPLE_RATE_DAC)
         audio = self.dac.decode(codes)
         return TTSResponse(np.asarray(audio, np.float32), SAMPLE_RATE_DAC)
+
+    def generate_stream(self, text: str, config: GenerationConfig | None = None,
+                        chunk: int = 64, margin: int = 16):
+        """Streaming generation: yields float32 waveform chunks as decode
+        chunks complete, vocoding incrementally with `margin` frames of
+        overlap context on each side (the DAC receptive field) so the
+        concatenated stream matches the full decode away from chunk seams.
+
+        This is the time-to-first-audio path (BASELINE north star: p50 TTFA).
+        """
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        ids = self.tokenizer.tokenize(text)
+        ids.append(self.tokenizer.eos_token)
+        p = self._bucket(len(ids))
+        tokens = np.zeros((p,), np.int32)
+        tokens[: len(ids)] = ids
+        kv_k, kv_v = self._empty_kv()
+        kv_k, kv_v = parler_prefill(cfg, self.weights, jnp.asarray(tokens),
+                                    kv_k, kv_v, use_cross=cfg.use_cross_attn)
+        seed = config.seed if config.seed is not None else np.random.randint(2**31)
+        st = _parler_init_state(cfg, jnp.int32(len(ids)), kv_k, kv_v,
+                                jax.random.PRNGKey(seed))
+        gen_kw = dict(use_cross=cfg.use_cross_attn, do_sample=config.sample,
+                      temperature=float(config.temperature),
+                      top_k=int(config.top_k), top_p=float(config.top_p),
+                      repetition_penalty=float(config.repetition_penalty))
+        emitted = 0
+        up = self.dac.cfg.up_sampling_factor if self.dac is not None else 0
+        while True:
+            st = parler_decode_chunk(cfg, self.weights, st, n_steps=chunk,
+                                     **gen_kw)
+            done = not bool(_parler_not_done_jit(cfg, st.step, st.eos_seen,
+                                                 st.pos))
+            n_steps = int(st.step)
+            codes = adjust_output_tokens(np.asarray(st.out_tokens), n_steps, cfg)
+            # frames near the end may still change (delay window); hold back
+            # `margin` frames until generation finishes
+            ready = codes.shape[0] if done else max(0, codes.shape[0] - margin)
+            if self.dac is not None and ready > emitted:
+                # decode with margin context on BOTH sides of the emitted
+                # span so conv receptive fields see their true neighborhoods
+                lo = max(0, emitted - margin)
+                hi = min(codes.shape[0], ready + (0 if done else margin))
+                seg = self.dac.decode(codes[lo:hi])
+                start = (emitted - lo) * up
+                stop = (ready - lo) * up
+                yield np.asarray(seg[start:stop], np.float32)
+                emitted = ready
+            if done:
+                break

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-            page: int, n_pages: int, scale: float):
+            page: int, n_pages: int, scale: float, n_rep: int):
     p = pl.program_id(0)
     pos = pos_ref[0]
     last_page = pos // page
@@ -41,10 +41,13 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         # batched per-head attention as VPU multiply+reduce: at these shapes
         # (H tiny matvecs) batched MXU dots cost ~1us of launch each; the VPU
         # does the whole page in a few microseconds.
-        q = q_ref[:].astype(jnp.float32)                  # (H, D)
-        k = k_ref[:].astype(jnp.float32)                  # (H, PAGE, D)
+        q = q_ref[:].astype(jnp.float32)                  # (Hq, D)
+        k = k_ref[:].astype(jnp.float32)                  # (Hkv, PAGE, D)
         v = v_ref[:].astype(jnp.float32)
-        s = jnp.sum(q[:, None, :] * k, axis=2) * scale    # (H, PAGE)
+        if n_rep > 1:                                     # GQA: expand kv
+            k = jnp.repeat(k, n_rep, axis=0)              # (Hq, PAGE, D)
+            v = jnp.repeat(v, n_rep, axis=0)
+        s = jnp.sum(q[:, None, :] * k, axis=2) * scale    # (Hq, PAGE)
         j = p * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(j <= pos, s, -jnp.inf)
         m_prev = m_ref[:, 0]                              # (H,)
@@ -65,12 +68,15 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 def paged_decode_attention(q: jax.Array, kv_k: jax.Array, kv_v: jax.Array,
                            pos, page: int = 256,
                            scale: float | None = None) -> jax.Array:
-    """q (H, D); kv_k/kv_v (H, CTX, D); attends rows [0, pos]. -> (H, D)."""
+    """q (Hq, D); kv_k/kv_v (Hkv, CTX, D) with Hq % Hkv == 0 (GQA: kv head j
+    serves q heads [j*g, (j+1)*g)); attends rows [0, pos]. -> (Hq, D)."""
     h, d = q.shape
+    hkv = kv_k.shape[0]
     ctx = kv_k.shape[1]
+    n_rep = h // hkv
     if scale is None:
         scale = 1.0 / np.sqrt(d)
-    if ctx % page:
+    if ctx % page or h % hkv:
         return _xla_fallback(q, kv_k, kv_v, pos, scale)
     n_pages = ctx // page
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
@@ -83,8 +89,8 @@ def paged_decode_attention(q: jax.Array, kv_k: jax.Array, kv_v: jax.Array,
         grid=(n_pages,),
         in_specs=[
             pl.BlockSpec((h, d), lambda p, pos_ref: (0, 0)),
-            pl.BlockSpec((h, page, d), clamp),
-            pl.BlockSpec((h, page, d), clamp),
+            pl.BlockSpec((hkv, page, d), clamp),
+            pl.BlockSpec((hkv, page, d), clamp),
         ],
         out_specs=pl.BlockSpec((h, d), lambda p, pos_ref: (0, 0)),
         scratch_shapes=[
@@ -94,21 +100,25 @@ def paged_decode_attention(q: jax.Array, kv_k: jax.Array, kv_v: jax.Array,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, page=page, n_pages=n_pages, scale=scale),
+        functools.partial(_kernel, page=page, n_pages=n_pages, scale=scale,
+                          n_rep=n_rep),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((h, d), q.dtype),
     )(pos_arr, q, kv_k, kv_v)
 
 
 def _xla_fallback(q, kv_k, kv_v, pos, scale):
+    n_rep = q.shape[0] // kv_k.shape[0]
+    kk = jnp.repeat(kv_k, n_rep, axis=0) if n_rep > 1 else kv_k
+    vv = jnp.repeat(kv_v, n_rep, axis=0) if n_rep > 1 else kv_v
     logits = jnp.einsum("hd,hkd->hk", q.astype(jnp.float32),
-                        kv_k.astype(jnp.float32),
+                        kk.astype(jnp.float32),
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST) * scale
     mask = jnp.arange(kv_k.shape[1]) <= pos
     logits = jnp.where(mask[None, :], logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("hk,hkd->hd", probs, kv_v.astype(jnp.float32),
+    return jnp.einsum("hk,hkd->hd", probs, vv.astype(jnp.float32),
                       precision=jax.lax.Precision.HIGHEST).astype(q.dtype)
 
 

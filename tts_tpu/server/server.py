@@ -243,6 +243,9 @@ class _Handler(BaseHTTPRequestHandler):
         if model not in srv.model_map:
             self._error(f"Invalid Model: {model}", 400)
             return
+        if data.get("stream") is True:
+            self._handle_tts_stream(prompt, conf, model)
+            return
         task = srv.submit(ServerTask(prompt, conf, model))
         if not task.success:
             self._error(task.message or "generation failed", 500)
@@ -256,6 +259,37 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             body = encode_wav(task.audio, task.sample_rate)
             self._send(200, body, MIMETYPE_WAV)
+
+    def _handle_tts_stream(self, prompt: str, conf, model: str) -> None:
+        """Chunked-transfer streaming of raw 16-bit PCM (time-to-first-audio
+        path). Runners without generate_stream fall back to one chunk."""
+        srv = self.server_obj
+        runner = srv.runners[model]
+        try:
+            if hasattr(runner, "generate_stream"):
+                gen = runner.generate_stream(prompt, conf)
+            else:
+                resp = runner.generate(prompt, conf)
+                gen = iter([resp.audio])
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/pcm;rate=44100;encoding=signed-integer;bits=16")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for chunk in gen:
+                pcm = (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
+                if not pcm:
+                    continue
+                self.wfile.write(f"{len(pcm):X}\r\n".encode())
+                self.wfile.write(pcm)
+                self.wfile.write(b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+        except BrokenPipeError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            try:
+                self._error(str(e), 500)
+            except Exception:
+                pass
 
     def _handle_conditional(self, data: dict) -> None:
         srv = self.server_obj
