@@ -40,14 +40,22 @@ class SNACConfig:
         c.n_heads = int(r.get("snac.audio_token_channels", c.n_heads))
         c.up_sampling_factor = int(r.get("snac.up_sampling_factor", c.up_sampling_factor))
         s, p, gr = [], [], []
-        for i in range(c.n_layers):
+        i = 0
+        while True:
             sv = r.get(f"snac.snac_layer_stride_{i}")
             pv = r.get(f"snac.snac_layer_padding_{i}")
             gv = r.get(f"snac.snac_layer_grouping_{i}")
             if sv is None:
-                return c
+                break
             s.append(int(sv)); p.append(int(pv)); gr.append(int(gv))
-        c.strides, c.paddings, c.groupings = tuple(s), tuple(p), tuple(gr)
+            i += 1
+        if s:
+            c.strides, c.paddings, c.groupings = tuple(s), tuple(p), tuple(gr)
+            c.n_layers = len(s)
+            # per-layer noise length = layer output length = cumprod(strides)
+            # (the reference hardcodes {8,64,256,512} for strides 8,8,4,2 —
+            # snac_model.h:19)
+            c.noise_steps = tuple(int(x) for x in np.cumprod(s))
         return c
 
 

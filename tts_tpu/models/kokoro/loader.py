@@ -12,6 +12,11 @@ def load_kokoro_runner(reader: GGUFReader, config: GenerationConfig,
     cfg = KokoroConfig.from_gguf(reader)
     tokenizer = SinglePassTokenizer.from_gguf(reader, "tokenizer.ggml.tokens")
     weights = load_kokoro_weights(reader, cfg)
+    # the reference hardcodes style_half_size=128 and harmonic_num=8
+    # (kokoro/model.h:212,227); infer them from the weights so small
+    # checkpoints work
+    cfg.style_half_size = int(weights.prosody.layers_ada[0].gamma_w.shape[1])
+    cfg.harmonic_num = int(weights.decoder.generator.m_source_w.shape[1]) - 1
     voices = load_voices(reader)
     phonemizer = None
     if "phonemizer.graphemes" in reader.metadata:

@@ -114,6 +114,10 @@ class KokoroConfig:
         c.n_decoder_blocks = int(g("kokoro.decoder.generator.layers", c.n_decoder_blocks))
         c.out_conv_padding = int(g("kokoro.decoder.generator.padding", c.out_conv_padding))
         c.up_sampling_factor = int(g("kokoro.decoder.generator.up_sampling_factor", c.up_sampling_factor))
+        # the F0 curve runs at 2x frame rate; its linear interpolation factor
+        # is therefore half the per-frame sample count (600 -> 300 for the
+        # published model, where the reference hardcodes 300)
+        c.upsample_scale = c.up_sampling_factor / 2.0
         if "kokoro.decoder.generator.n_fft" in r.metadata:
             c.true_n_fft = int(g("kokoro.decoder.generator.n_fft"))
         c.stft_hop = int(g("kokoro.decoder.generator.hop", c.stft_hop))
@@ -631,7 +635,7 @@ def _load_ada_res_block(r: GGUFReader, base: str) -> AdaResBlockW:
 def _load_gen_res_block(r: GGUFReader, base: str) -> GenResBlockW:
     n = 3
     return GenResBlockW(
-        adain1=[_load_ada_ln(r, f"{base}.{i}.gamma1_").__class__(
+        adain1=[AdaLayerNormW(
             gamma_w=_arr(r, f"{base}.{i}.gamma1_weight"),
             gamma_b=_arr(r, f"{base}.{i}.gamma1_bias"),
             beta_w=_arr(r, f"{base}.{i}.beta1_weight"),
