@@ -40,6 +40,25 @@ from ..base import TTSRunner
 
 LRELU = 0.2
 
+# Kokoro voice packs encode their language as the first letter of the voice
+# name; this maps it to the espeak-ng voice identifier used for
+# phonemization (reference kokoro/model.h:20-30).
+KOKORO_LANG_TO_ESPEAK_ID = {
+    "a": "gmw/en-US",
+    "b": "gmw/en",
+    "e": "roa/es",
+    "f": "roa/fr",
+    "h": "inc/hi",
+    "i": "roa/it",
+    "j": "jpx/ja",
+    "p": "roa/pt-BR",
+    "z": "sit/cmn",
+}
+
+
+def get_espeak_id_from_kokoro_voice(voice: str) -> str:
+    return KOKORO_LANG_TO_ESPEAK_ID.get(voice[:1], "gmw/en-US")
+
 
 @dataclasses.dataclass(eq=False)
 class KokoroConfig:
@@ -876,6 +895,15 @@ class KokoroRunner(TTSRunner):
                 voice = sorted(self.voices)[0]
             else:
                 raise ValueError("no voices in checkpoint")
+        # propagate the voice's language to the espeak phonemizer if in use
+        # (reference propagate_voice_setting, model.cpp:1390-1407)
+        if self.phonemizer is not None and \
+                hasattr(self.phonemizer, "set_voice"):
+            code = config.espeak_voice_id or get_espeak_id_from_kokoro_voice(voice)
+            try:
+                self.phonemizer.set_voice(code)
+            except Exception:
+                pass
         text = prompt
         for ch in ",;:":
             text = text.replace(ch, "--")

@@ -49,11 +49,51 @@ ERROR_TYPES = {
     503: "unavailable_error",
 }
 
+# embedded web UI (reference ships public/index.html via xxd; this is the
+# TPU-era equivalent — a single-page form over the OpenAI-style API)
 INDEX_HTML = """<!doctype html>
-<html><head><title>tts_tpu server</title></head>
-<body><h1>tts_tpu TTS server</h1>
-<p>POST /v1/audio/speech with {"input": "text", "voice": "...", "model": "..."}.</p>
-<p>GET /v1/models, /v1/audio/voices, /health.</p></body></html>"""
+<html><head><title>tts_tpu server</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:720px;margin:2rem auto;padding:0 1rem}
+ textarea{width:100%;height:6rem} select,input,button{margin:.25rem 0;padding:.4rem}
+ .row{display:flex;gap:1rem;flex-wrap:wrap} .row>div{flex:1;min-width:10rem}
+ audio{width:100%;margin-top:1rem}
+</style></head>
+<body>
+<h1>tts_tpu</h1>
+<p>TPU-native text-to-speech. POST <code>/v1/audio/speech</code> with
+<code>{"input": "...", "voice": "...", "model": "..."}</code>; GET
+<code>/v1/models</code>, <code>/v1/audio/voices</code>, <code>/health</code>.</p>
+<textarea id="text">The quick brown fox jumps over the lazy dog.</textarea>
+<div class="row">
+ <div><label>Model</label><br><select id="model"></select></div>
+ <div><label>Voice</label><br><select id="voice"></select></div>
+ <div><label>Temperature</label><br><input id="temp" type="number" step="0.05" value="1.0"></div>
+ <div><label>Top-k</label><br><input id="topk" type="number" value="50"></div>
+</div>
+<button id="go">Generate</button> <span id="status"></span>
+<audio id="player" controls></audio>
+<script>
+async function boot(){
+ const models=await (await fetch('/v1/models')).json();
+ for(const m of models.data){model.add(new Option(m.id,m.id));}
+ const voices=await (await fetch('/v1/audio/voices')).json();
+ const vs=(voices.voices[model.value]||[]);
+ voice.innerHTML=''; voice.add(new Option('(default)',''));
+ for(const v of vs){voice.add(new Option(v,v));}
+}
+go.onclick=async()=>{
+ status.textContent='generating…';
+ const body={input:text.value,temperature:parseFloat(temp.value),
+             top_k:parseInt(topk.value),model:model.value};
+ if(voice.value)body.voice=voice.value;
+ const r=await fetch('/v1/audio/speech',{method:'POST',body:JSON.stringify(body)});
+ if(!r.ok){status.textContent='error: '+await r.text();return;}
+ player.src=URL.createObjectURL(await r.blob());player.play();
+ status.textContent='done';
+};
+boot();
+</script></body></html>"""
 
 
 def format_error(message: str, code: int) -> dict:

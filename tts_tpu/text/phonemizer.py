@@ -702,10 +702,18 @@ class EspeakPhonemizer:
         import ctypes
         self._lib = ctypes.CDLL(lib)
         self._lib.espeak_Initialize(0x02, 0, None, 0)  # AUDIO_OUTPUT_SYNCHRONOUS
-        self._lib.espeak_SetVoiceByName(voice.encode())
         self._lib.espeak_TextToPhonemes.restype = ctypes.c_char_p
         self.phoneme_mode = 0x01 if use_espeak_phonemes else 0x02
         self.preserve_punctuation = preserve_punctuation
+        self._voice = None
+        self.set_voice(voice)
+
+    def set_voice(self, voice: str) -> None:
+        """Switch the espeak voice (reference update_voice)."""
+        if voice == self._voice:
+            return
+        self._lib.espeak_SetVoiceByName(voice.encode())
+        self._voice = voice
 
     def text_to_phonemes(self, text: str) -> str:
         import ctypes
