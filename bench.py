@@ -108,6 +108,26 @@ def main() -> None:
 
     audio_s = n * SAMPLES_PER_STEP / SAMPLE_RATE
     rtf = audio_s / wall
+
+    # batched throughput: 8 concurrent streams through the continuous-
+    # batching engine (one weight read serves all slots)
+    from tts_tpu.runtime.batched_parler import (batched_decode_chunk,
+                                                init_batched_state,
+                                                insert_request)
+    B = 8
+    bst = init_batched_state(cfg, B, jax.random.PRNGKey(2))
+    kv_k, kv_v = parler_prefill(cfg, weights, tokens, kv_k0, kv_v0)
+    for slot in range(B):
+        bst = insert_request(cfg, bst, slot, kv_k, kv_v, prompt_len,
+                             True, 1.0, 50, 1.0, 1.0)
+    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64)  # compile+warm
+    int(np.asarray(bst.out_tokens).sum())
+    t0 = time.perf_counter()
+    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64)
+    int(np.asarray(bst.out_tokens).sum())
+    bwall = time.perf_counter() - t0
+    batched_rtf = B * 64 * SAMPLES_PER_STEP / SAMPLE_RATE / bwall
+    batched_tps = 9 * B * 64 / bwall
     print(json.dumps({
         "metric": "parler_mini_q4_decode_rtf",
         "value": round(rtf, 4),
@@ -118,6 +138,8 @@ def main() -> None:
             "wall_s": round(wall, 4),
             "steps_per_s": round(n / wall, 2),
             "tokens_per_s": round(9 * n / wall, 2),
+            "batched_rtf_8_streams": round(batched_rtf, 3),
+            "batched_tokens_per_s": round(batched_tps, 1),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -116,3 +116,70 @@ def sample_or_greedy(key, logits, state, *, do_sample: bool, temperature: float,
         return greedy(logits), state
     return sample(key, logits, state, temperature, top_k, top_p,
                   repetition_penalty)
+
+
+# ---------------------------------------------------------------------------
+# batched sampling: B requests with PER-REQUEST dynamic parameters
+# ---------------------------------------------------------------------------
+
+class BatchedSamplerState(NamedTuple):
+    last_token: jax.Array   # (B, H) int32
+    repeat_count: jax.Array  # (B, H) int32
+
+
+def init_batched_state(b: int, n_heads: int) -> BatchedSamplerState:
+    return BatchedSamplerState(
+        last_token=jnp.full((b, n_heads), -1, jnp.int32),
+        repeat_count=jnp.zeros((b, n_heads), jnp.int32),
+    )
+
+
+def sample_batched(key: jax.Array, logits: jax.Array,
+                   state: BatchedSamplerState, *, do_sample: jax.Array,
+                   temperature: jax.Array, top_k: jax.Array,
+                   top_p: jax.Array, repetition_penalty: jax.Array):
+    """logits (B, H, V); all parameters are (B,) arrays (dynamic per
+    request, so one compiled program serves mixed-config batches).
+
+    Semantics per request match `sample`/`greedy`: greedy rows take the raw
+    argmax; sampled rows apply penalty/temperature/top-k/top-p.
+    """
+    b, h, v = logits.shape
+    x = logits.astype(jnp.float32)
+    # repetition penalty (division of the consecutive last token's logit)
+    tok = jnp.arange(v)[None, None, :]
+    factor = repetition_penalty[:, None] ** state.repeat_count.astype(jnp.float32)
+    hit = tok == state.last_token[:, :, None]
+    pen = jnp.where(repetition_penalty[:, None, None] != 1.0,
+                    jnp.where(hit, x / factor[:, :, None], x), x)
+    temp = jnp.maximum(temperature, 1e-6)[:, None, None]
+    probs = jax.nn.softmax(pen / temp, axis=-1)
+
+    order = jnp.argsort(-probs, axis=-1)
+    sorted_p = jnp.take_along_axis(probs, order, axis=-1)
+    j = jnp.arange(v)[None, None, :]
+    keep = jnp.where(top_k[:, None, None] > 0, j < top_k[:, None, None], True)
+    kept_p = jnp.where(keep, sorted_p, 0.0)
+    cum = jnp.cumsum(kept_p, axis=-1)
+    use_tp = top_p[:, None, None] < 1.0
+    keep = keep & jnp.where(use_tp, (cum - kept_p) < top_p[:, None, None], True)
+    kept_p = jnp.where(keep, sorted_p, 0.0)
+    cum = jnp.cumsum(kept_p, axis=-1)
+    max_head = jnp.where(top_p[:, None] < 1.0,
+                         jnp.minimum(jnp.sum(kept_p, axis=-1), top_p[:, None]),
+                         1.0)
+    u = jax.random.uniform(key, (b, h)) * max_head
+    found = keep & (cum >= u[:, :, None])
+    first_hit = jnp.argmax(found, axis=-1)
+    any_hit = jnp.any(found, axis=-1)
+    last_kept = v - 1 - jnp.argmax(jnp.flip(keep, axis=-1), axis=-1)
+    posn = jnp.where(any_hit, first_hit, last_kept)
+    sampled = jnp.take_along_axis(order, posn[:, :, None], axis=-1)[:, :, 0]
+    greedy_t = jnp.argmax(x, axis=-1)
+    tokens = jnp.where(do_sample[:, None], sampled, greedy_t).astype(jnp.int32)
+    same = tokens == state.last_token
+    new_state = BatchedSamplerState(
+        last_token=tokens,
+        repeat_count=jnp.where(same, state.repeat_count + 1, 1).astype(jnp.int32),
+    )
+    return tokens, new_state

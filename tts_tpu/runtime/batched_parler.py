@@ -1,0 +1,283 @@
+"""Continuous-batching decode engine for the Parler decoder.
+
+The reference scales requests with full model replicas on threads
+(server.cpp:885-897). TPU-native design: ONE set of weights, a fixed number
+of batch slots decoded together in a single jitted program — weight reads
+(the dominant HBM cost) are amortized across all active requests. Slots have
+independent positions, sampling parameters (dynamic per request), EOS/delay
+state, and are refilled between chunks without recompilation.
+
+Decode math matches the single-stream path exactly (tested); batched paged
+attention handles per-request positions (ops/decode_attention.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import GenerationConfig
+from ..models.parler.model import (ParlerConfig, ParlerWeights,
+                                   _layer_norm, _logits_last,
+                                   adjust_output_tokens, parler_prefill)
+from ..ops import sampling
+from ..ops.decode_attention import decode_attention_batched
+from ..ops.linear import matmul
+
+
+class BatchedParlerState(NamedTuple):
+    kv_k: Any           # (L, B, nh, ctx, D)
+    kv_v: Any
+    pos: Any            # (B,) int32
+    step: Any           # (B,) int32
+    tokens_in: Any      # (B, n_out_heads)
+    eos_seen: Any       # (B, n_out_heads) bool
+    active: Any         # (B,) bool — slot has a live request
+    out_tokens: Any     # (B, max_gen, n_out_heads)
+    sampler_state: sampling.BatchedSamplerState
+    key: Any
+    # per-request sampling params (dynamic)
+    do_sample: Any      # (B,) bool
+    temperature: Any    # (B,) f32
+    top_k: Any          # (B,) i32
+    top_p: Any          # (B,) f32
+    repetition_penalty: Any  # (B,) f32
+
+
+def init_batched_state(cfg: ParlerConfig, b: int, key) -> BatchedParlerState:
+    L, nh, ctx, d = (cfg.n_layers, cfg.n_attn_heads, cfg.max_ctx_length,
+                     cfg.head_size)
+    no = cfg.n_output_heads
+    return BatchedParlerState(
+        kv_k=jnp.zeros((L, b, nh, ctx, d)),
+        kv_v=jnp.zeros((L, b, nh, ctx, d)),
+        pos=jnp.zeros((b,), jnp.int32),
+        step=jnp.zeros((b,), jnp.int32),
+        tokens_in=jnp.full((b, no), cfg.bos_token_id, jnp.int32),
+        eos_seen=jnp.zeros((b, no), bool),
+        active=jnp.zeros((b,), bool),
+        out_tokens=jnp.zeros((b, cfg.max_generation_size, no), jnp.int32),
+        sampler_state=sampling.init_batched_state(b, no),
+        key=key,
+        do_sample=jnp.zeros((b,), bool),
+        temperature=jnp.ones((b,), jnp.float32),
+        top_k=jnp.zeros((b,), jnp.int32),
+        top_p=jnp.ones((b,), jnp.float32),
+        repetition_penalty=jnp.ones((b,), jnp.float32),
+    )
+
+
+def _not_done(cfg: ParlerConfig, st: BatchedParlerState):
+    m = cfg.max_generation_size
+    return st.active & ((st.step == 0) | ~jnp.all(st.eos_seen, axis=1)) & \
+        (st.pos < m) & (st.step < m)
+
+
+def _batched_layer(cfg: ParlerConfig, x, lw, kv_k, kv_v, pos, cont,
+                   use_cross: bool):
+    """x (B, H); kv (B, nh, ctx, D); pos/cont (B,)."""
+    b = x.shape[0]
+    nh = cfg.n_attn_heads
+    h = _layer_norm(x, lw.ln1_w, lw.ln1_b)
+    q = matmul(h, lw.q_w).reshape(b, nh, -1)
+    k = matmul(h, lw.k_w).reshape(b, nh, -1)
+    v = matmul(h, lw.v_w).reshape(b, nh, -1)
+    upd = jax.vmap(lambda kvb, kb, pb: jax.lax.dynamic_update_slice(
+        kvb, kb[:, None, :], (0, pb, 0)))
+    kv_k2 = upd(kv_k, k, pos)
+    kv_v2 = upd(kv_v, v, pos)
+    mask4 = cont[:, None, None, None]
+    kv_k = jnp.where(mask4, kv_k2, kv_k)
+    kv_v = jnp.where(mask4, kv_v2, kv_v)
+    attn = decode_attention_batched(q, kv_k, kv_v, pos)   # (B, nh, D)
+    x = x + matmul(attn.reshape(b, cfg.hidden_size), lw.o_w)
+    if use_cross:
+        h = _layer_norm(x, lw.lnc_w, lw.lnc_b)
+        cq = matmul(h, lw.cq_w).reshape(b, nh, -1)
+        logits = jnp.einsum("bhd,hkd->bhk", cq, lw.cross_k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / np.sqrt(cfg.head_size)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ca = jnp.einsum("bhk,hkd->bhd", probs, lw.cross_v)
+        x = x + matmul(ca.reshape(b, cfg.hidden_size), lw.co_w)
+    h = _layer_norm(x, lw.ln2_w, lw.ln2_b)
+    h = matmul(h, lw.fc1)
+    h = jax.nn.gelu(h, approximate=True)
+    x = x + matmul(h, lw.fc2)
+    return x, kv_k, kv_v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "use_cross"))
+def batched_decode_chunk(cfg: ParlerConfig, w: ParlerWeights,
+                         st: BatchedParlerState, *, n_steps: int,
+                         use_cross: bool = True) -> BatchedParlerState:
+    nh = cfg.n_output_heads
+
+    def step(st: BatchedParlerState, _):
+        cont = _not_done(cfg, st)
+        embs = jax.vmap(lambda trow: jax.vmap(lambda e, t: e[t])(
+            w.embds, trow))(st.tokens_in)                 # (B, nh, H)
+        x = jnp.sum(embs, axis=1) + jnp.take(w.pos_embd, st.pos, axis=0)
+
+        def layer_body(carry, inp):
+            xc = carry
+            lw, kk, vv = inp
+            xo, kk, vv = _batched_layer(cfg, xc, lw, kk, vv, st.pos, cont,
+                                        use_cross)
+            return xo, (kk, vv)
+
+        x, (kv_k, kv_v) = jax.lax.scan(layer_body, x,
+                                       (w.layers, st.kv_k, st.kv_v))
+        x = _layer_norm(x, w.final_ln_w, w.final_ln_b)
+        logits = matmul(x, w.heads).reshape(-1, nh, cfg.output_vocab_size)
+        key, sub = jax.random.split(st.key)
+        toks, s_state = sampling.sample_batched(
+            sub, logits, st.sampler_state, do_sample=st.do_sample,
+            temperature=st.temperature, top_k=st.top_k, top_p=st.top_p,
+            repetition_penalty=st.repetition_penalty)
+        out = jax.vmap(lambda ob, tb, sb: jax.lax.dynamic_update_slice(
+            ob, tb[None, :], (sb, 0)))(st.out_tokens, toks, st.step)
+        heads_i = jnp.arange(nh)[None, :]
+        nxt = jnp.where(st.step[:, None] + 1 > heads_i,
+                        jnp.where(st.eos_seen, cfg.eos_token_id, toks),
+                        cfg.bos_token_id).astype(jnp.int32)
+        eos = st.eos_seen | (toks == cfg.eos_token_id)
+
+        c1 = cont[:, None]
+        c2 = cont[:, None, None]
+        return BatchedParlerState(
+            kv_k=kv_k, kv_v=kv_v,
+            pos=jnp.where(cont, st.pos + 1, st.pos),
+            step=jnp.where(cont, st.step + 1, st.step),
+            tokens_in=jnp.where(c1, nxt, st.tokens_in),
+            eos_seen=jnp.where(c1, eos, st.eos_seen),
+            active=st.active,
+            out_tokens=jnp.where(c2, out, st.out_tokens),
+            sampler_state=sampling.BatchedSamplerState(
+                last_token=jnp.where(c1, s_state.last_token,
+                                     st.sampler_state.last_token),
+                repeat_count=jnp.where(c1, s_state.repeat_count,
+                                       st.sampler_state.repeat_count)),
+            key=key,
+            do_sample=st.do_sample, temperature=st.temperature,
+            top_k=st.top_k, top_p=st.top_p,
+            repetition_penalty=st.repetition_penalty,
+        ), None
+
+    st, _ = jax.lax.scan(step, st, None, length=n_steps)
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def insert_request(cfg: ParlerConfig, st: BatchedParlerState, slot,
+                   kv_k_req, kv_v_req, prompt_len, do_sample, temperature,
+                   top_k, top_p, repetition_penalty) -> BatchedParlerState:
+    """Place a prefilled request into batch slot `slot`."""
+    nh = cfg.n_output_heads
+    return st._replace(
+        kv_k=jax.lax.dynamic_update_slice(
+            st.kv_k, kv_k_req[:, None], (0, slot, 0, 0, 0)),
+        kv_v=jax.lax.dynamic_update_slice(
+            st.kv_v, kv_v_req[:, None], (0, slot, 0, 0, 0)),
+        pos=st.pos.at[slot].set(prompt_len),
+        step=st.step.at[slot].set(0),
+        tokens_in=st.tokens_in.at[slot].set(
+            jnp.full((nh,), cfg.bos_token_id, jnp.int32)),
+        eos_seen=st.eos_seen.at[slot].set(jnp.zeros((nh,), bool)),
+        active=st.active.at[slot].set(True),
+        out_tokens=st.out_tokens.at[slot].set(
+            jnp.zeros((cfg.max_generation_size, nh), jnp.int32)),
+        sampler_state=sampling.BatchedSamplerState(
+            last_token=st.sampler_state.last_token.at[slot].set(-1),
+            repeat_count=st.sampler_state.repeat_count.at[slot].set(0)),
+        do_sample=st.do_sample.at[slot].set(do_sample),
+        temperature=st.temperature.at[slot].set(temperature),
+        top_k=st.top_k.at[slot].set(top_k),
+        top_p=st.top_p.at[slot].set(top_p),
+        repetition_penalty=st.repetition_penalty.at[slot].set(repetition_penalty),
+    )
+
+
+class BatchedParlerEngine:
+    """Slot-based continuous batching over one Parler model."""
+
+    def __init__(self, cfg: ParlerConfig, weights: ParlerWeights, tokenizer,
+                 n_slots: int = 4, chunk: int = 32, seed: int = 0,
+                 prompt_buckets=(64, 128, 256, 512)):
+        self.cfg = cfg
+        self.weights = weights
+        self.tokenizer = tokenizer
+        self.n_slots = n_slots
+        self.chunk = chunk
+        self.prompt_buckets = prompt_buckets
+        self.state = init_batched_state(cfg, n_slots, jax.random.PRNGKey(seed))
+        self.slot_req: List[Optional[int]] = [None] * n_slots
+        self.pending: List[tuple] = []
+        self.results: Dict[int, np.ndarray] = {}
+        self._next_id = 0
+
+    def submit(self, text: str, config: GenerationConfig) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.pending.append((rid, text, config))
+        self._fill_slots()
+        return rid
+
+    def _prefill(self, text: str):
+        cfg = self.cfg
+        ids = self.tokenizer.tokenize(text)
+        ids.append(self.tokenizer.eos_token)
+        p = next((bk for bk in self.prompt_buckets if len(ids) <= bk),
+                 self.prompt_buckets[-1])
+        tokens = np.zeros((p,), np.int32)
+        tokens[: len(ids)] = ids
+        shape = (cfg.n_layers, cfg.n_attn_heads, cfg.max_ctx_length,
+                 cfg.head_size)
+        kv_k, kv_v = parler_prefill(cfg, self.weights, jnp.asarray(tokens),
+                                    jnp.zeros(shape), jnp.zeros(shape),
+                                    use_cross=cfg.use_cross_attn)
+        return kv_k, kv_v, len(ids)
+
+    def _fill_slots(self) -> None:
+        for slot in range(self.n_slots):
+            if self.slot_req[slot] is not None or not self.pending:
+                continue
+            rid, text, config = self.pending.pop(0)
+            kv_k, kv_v, plen = self._prefill(text)
+            self.state = insert_request(
+                self.cfg, self.state, slot, kv_k, kv_v, plen,
+                bool(config.sample), float(config.temperature),
+                int(config.top_k), float(config.top_p),
+                float(config.repetition_penalty))
+            self.slot_req[slot] = rid
+
+    def step(self) -> List[int]:
+        """Run one decode chunk; returns newly finished request ids."""
+        self.state = batched_decode_chunk(self.cfg, self.weights, self.state,
+                                          n_steps=self.chunk,
+                                          use_cross=self.cfg.use_cross_attn)
+        done_mask = ~np.asarray(_not_done(self.cfg, self.state))
+        finished = []
+        for slot in range(self.n_slots):
+            rid = self.slot_req[slot]
+            if rid is None or not done_mask[slot]:
+                continue
+            n_steps = int(np.asarray(self.state.step[slot]))
+            out = np.asarray(self.state.out_tokens[slot])
+            self.results[rid] = adjust_output_tokens(out, n_steps, self.cfg)
+            self.slot_req[slot] = None
+            self.state = self.state._replace(
+                active=self.state.active.at[slot].set(False))
+            finished.append(rid)
+        self._fill_slots()
+        return finished
+
+    def run_until_done(self, max_chunks: int = 1000) -> None:
+        for _ in range(max_chunks):
+            self.step()
+            if not self.pending and all(r is None for r in self.slot_req):
+                return
+        raise RuntimeError("batched engine did not converge")
