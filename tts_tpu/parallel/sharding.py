@@ -87,3 +87,35 @@ def shard_parler_kv(kv_k, kv_v, mesh: Mesh):
     spec = P(None, "tp", None, None)
     return (jax.device_put(kv_k, NamedSharding(mesh, spec)),
             jax.device_put(kv_v, NamedSharding(mesh, spec)))
+
+
+def shard_batched_state(st, mesh: Mesh):
+    """Shard a BatchedParlerState over the 2D (dp, tp) mesh: batch slots
+    split over dp (each dp group serves its own requests), KV heads over tp,
+    all per-request vectors over dp. One compiled program then decodes
+    n_slots requests across dp*tp chips with weight reads amortized inside
+    each dp group."""
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    from ..ops.sampling import BatchedSamplerState
+    b = P("dp")
+    bh = P("dp", None)
+    return st._replace(
+        kv_k=put(st.kv_k, P(None, "dp", "tp", None, None)),
+        kv_v=put(st.kv_v, P(None, "dp", "tp", None, None)),
+        pos=put(st.pos, b), step=put(st.step, b),
+        tokens_in=put(st.tokens_in, bh),
+        eos_seen=put(st.eos_seen, bh),
+        active=put(st.active, b),
+        out_tokens=put(st.out_tokens, P("dp", None, None)),
+        sampler_state=BatchedSamplerState(
+            last_token=put(st.sampler_state.last_token, bh),
+            repeat_count=put(st.sampler_state.repeat_count, bh)),
+        key=put(st.key, P()),
+        do_sample=put(st.do_sample, b),
+        temperature=put(st.temperature, b),
+        top_k=put(st.top_k, b),
+        top_p=put(st.top_p, b),
+        repetition_penalty=put(st.repetition_penalty, b),
+    )

@@ -85,13 +85,19 @@ def _batched_layer(cfg: ParlerConfig, x, lw, kv_k, kv_v, pos, cont,
     q = matmul(h, lw.q_w).reshape(b, nh, -1)
     k = matmul(h, lw.k_w).reshape(b, nh, -1)
     v = matmul(h, lw.v_w).reshape(b, nh, -1)
-    upd = jax.vmap(lambda kvb, kb, pb: jax.lax.dynamic_update_slice(
-        kvb, kb[:, None, :], (0, pb, 0)))
-    kv_k2 = upd(kv_k, k, pos)
-    kv_v2 = upd(kv_v, v, pos)
-    mask4 = cont[:, None, None, None]
-    kv_k = jnp.where(mask4, kv_k2, kv_k)
-    kv_v = jnp.where(mask4, kv_v2, kv_v)
+    d = cfg.head_size
+    # Masked write that only touches the written ROW: read the old row at
+    # pos, select new-vs-old by the continue flag, write it back. Inactive
+    # slots perform an idempotent row write instead of a full-cache
+    # jnp.where (which would stream the whole (B,nh,ctx,D) cache through
+    # HBM every layer and defeat in-place DUS aliasing in the scan carry).
+    def upd(kvb, kb, pb, cb):
+        old = jax.lax.dynamic_slice(kvb, (0, pb, 0), (nh, 1, d))
+        new = jnp.where(cb, kb[:, None, :], old)
+        return jax.lax.dynamic_update_slice(kvb, new, (0, pb, 0))
+
+    kv_k = jax.vmap(upd)(kv_k, k, pos, cont)
+    kv_v = jax.vmap(upd)(kv_v, v, pos, cont)
     attn = decode_attention_batched(q, kv_k, kv_v, pos)   # (B, nh, D)
     x = x + matmul(attn.reshape(b, cfg.hidden_size), lw.o_w)
     if use_cross:
