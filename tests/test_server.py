@@ -150,3 +150,51 @@ def test_parler_model_server(tmp_path, rng):
     if code == 200:
         assert mime == "audio/wav"
     httpd.shutdown()
+
+
+def test_parler_batched_server_matches_unbatched(tmp_path, rng):
+    """Concurrent requests through --batch-slots must return byte-identical
+    audio to the single-stream server (greedy decode)."""
+    from tests.test_e2e_parler import make_tiny_parler_gguf
+    path = tmp_path / "tiny.gguf"
+    make_tiny_parler_gguf(str(path), rng)
+
+    def boot(batch_slots):
+        srv = build_server(str(tmp_path), config=GenerationConfig(sample=False),
+                           batch_slots=batch_slots)
+        httpd = serve(srv, "127.0.0.1", 0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        for _ in range(600):
+            if srv.state == "READY":
+                break
+            time.sleep(0.1)
+        assert srv.state == "READY"
+        return srv, httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    srv1, httpd1, base1 = boot(0)
+    ref = {}
+    for text in ("hello world", "wor ld a b"):
+        ref[text] = _post(base1 + "/v1/audio/speech", {"input": text})
+    httpd1.shutdown()
+
+    srv2, httpd2, base2 = boot(2)
+    assert "tiny" in srv2.batched_workers
+    results = {}
+    lock = threading.Lock()
+
+    def req(text):
+        r = _post(base2 + "/v1/audio/speech", {"input": text})
+        with lock:
+            results[text] = r
+    threads = [threading.Thread(target=req, args=(t,))
+               for t in ("hello world", "wor ld a b", "hello world")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    httpd2.shutdown()
+    for text, (code, body, mime) in results.items():
+        rcode, rbody, _ = ref[text]
+        assert code == rcode, (text, code, body[:200])
+        if code == 200:
+            assert body == rbody

@@ -11,8 +11,10 @@ Architecture notes vs the reference: the reference scales with
 (server.cpp:885-897). Here workers share one loaded model per model-id by
 default (jitted functions are reentrant; XLA serializes on-device work), so
 N workers cost one copy of the weights — the replica knob instead controls
-request-level concurrency. Cross-request continuous batching on-device is
-the planned next step (SURVEY §2.8).
+request-level concurrency. With --batch-slots N, Parler requests are routed
+through the on-device continuous-batching engine instead: concurrent HTTP
+requests decode TOGETHER in one compiled program (one weight read serves all
+slots; see runtime/batched_parler.py).
 """
 from __future__ import annotations
 
@@ -114,14 +116,100 @@ class ServerTask:
         self.sample_rate = 0
 
 
+class BatchedModelWorker:
+    """Continuous-batching dispatcher for one Parler model.
+
+    Requests from many HTTP connections decode TOGETHER in one on-device
+    program (runtime/batched_parler.py) — one weight read serves every
+    active slot, so aggregate throughput scales with concurrency instead of
+    the reference's full-replica-per-thread model (server.cpp:885-897).
+    """
+
+    def __init__(self, runner, n_slots: int, chunk: int = 32):
+        from ..runtime.batched_parler import BatchedParlerEngine
+        self.runner = runner
+        self.engine = BatchedParlerEngine(runner.cfg, runner.weights,
+                                          runner.tokenizer, n_slots=n_slots,
+                                          chunk=chunk)
+        self.q: "queue.Queue[ServerTask]" = queue.Queue()
+        self.tasks: Dict[int, ServerTask] = {}
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="tts-batched-worker")
+        self._thread.start()
+
+    def submit(self, task: "ServerTask") -> None:
+        self.q.put(task)
+
+    def refresh_weights(self) -> None:
+        """Pick up runner weight changes (conditional-prompt updates)."""
+        self.engine.weights = self.runner.weights
+
+    def _busy(self) -> bool:
+        return bool(self.engine.pending) or any(
+            r is not None for r in self.engine.slot_req)
+
+    def _loop(self) -> None:
+        from ..common import SAMPLE_RATE_DAC
+        while True:
+            # drain incoming requests; block only when fully idle
+            try:
+                task = self.q.get(block=not self._busy())
+            except queue.Empty:
+                task = None
+            while task is not None:
+                try:
+                    rid = self.engine.submit(task.prompt, task.config)
+                    self.tasks[rid] = task
+                except Exception as e:  # noqa: BLE001
+                    task.message = str(e)
+                    task.success = False
+                    task.event.set()
+                try:
+                    task = self.q.get(block=False)
+                except queue.Empty:
+                    task = None
+            if not self._busy():
+                continue
+            try:
+                finished = self.engine.step()
+            except Exception as e:  # noqa: BLE001
+                for t in self.tasks.values():
+                    t.message = str(e)
+                    t.success = False
+                    t.event.set()
+                self.tasks.clear()
+                continue
+            for rid in finished:
+                t = self.tasks.pop(rid, None)
+                codes = self.engine.results.pop(rid, None)
+                if t is None:
+                    continue
+                try:
+                    if self.runner.dac is not None and codes is not None \
+                            and codes.shape[0] > 0:
+                        t.audio = np.asarray(self.runner.dac.decode(codes),
+                                             np.float32)
+                    else:
+                        t.audio = np.zeros(0, np.float32)
+                    t.sample_rate = SAMPLE_RATE_DAC
+                    t.success = True
+                except Exception as e:  # noqa: BLE001
+                    t.message = str(e)
+                    t.success = False
+                t.event.set()
+
+
 class TTSServer:
     def __init__(self, model_map: Dict[str, str], default_model: str,
                  default_config: GenerationConfig, n_parallel: int = 1,
-                 text_encoder_path: str = "", timeout: float = 300.0):
+                 text_encoder_path: str = "", timeout: float = 300.0,
+                 batch_slots: int = 0):
         self.model_map = model_map
         self.default_model = default_model
         self.default_config = default_config
         self.n_parallel = max(1, n_parallel)
+        self.batch_slots = batch_slots
+        self.batched_workers: Dict[str, BatchedModelWorker] = {}
         self.text_encoder_path = text_encoder_path
         self.timeout = timeout
         self.state = "LOADING"
@@ -134,7 +222,11 @@ class TTSServer:
     # -- lifecycle -----------------------------------------------------------
     def load(self) -> None:
         for model_id, path in self.model_map.items():
-            self.runners[model_id] = runner_from_file(path, self.default_config)
+            runner = runner_from_file(path, self.default_config)
+            self.runners[model_id] = runner
+            if self.batch_slots > 1 and getattr(runner, "arch", "") == "parler-tts":
+                self.batched_workers[model_id] = BatchedModelWorker(
+                    runner, n_slots=self.batch_slots)
         for i in range(self.n_parallel):
             t = threading.Thread(target=self._worker_loop, daemon=True,
                                  name=f"tts-worker-{i}")
@@ -159,7 +251,11 @@ class TTSServer:
             task.event.set()
 
     def submit(self, task: ServerTask) -> ServerTask:
-        self.queue.put(task)
+        bw = self.batched_workers.get(task.model)
+        if bw is not None:
+            bw.submit(task)
+        else:
+            self.queue.put(task)
         if not task.event.wait(self.timeout):
             task.success = False
             task.message = "request timed out"
@@ -353,6 +449,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             srv.runners[model].update_conditional_prompt(
                 srv.text_encoder_path, prompt)
+            bw = srv.batched_workers.get(model)
+            if bw is not None:
+                bw.refresh_weights()
         except Exception as e:  # noqa: BLE001
             self._error(str(e), 500)
             return
@@ -362,7 +461,7 @@ class _Handler(BaseHTTPRequestHandler):
 def build_server(model_path: str, default_model: str = "",
                  config: Optional[GenerationConfig] = None,
                  n_parallel: int = 1, text_encoder_path: str = "",
-                 timeout: float = 300.0) -> TTSServer:
+                 timeout: float = 300.0, batch_slots: int = 0) -> TTSServer:
     model_map: Dict[str, str] = {}
     if os.path.isdir(model_path):
         for entry in sorted(os.listdir(model_path)):
@@ -382,7 +481,7 @@ def build_server(model_path: str, default_model: str = "",
         default = sorted(model_map)[0]
     return TTSServer(model_map, default, config or GenerationConfig(),
                      n_parallel=n_parallel, text_encoder_path=text_encoder_path,
-                     timeout=timeout)
+                     timeout=timeout, batch_slots=batch_slots)
 
 
 def serve(server: TTSServer, host: str = "127.0.0.1", port: int = 8080):
@@ -408,6 +507,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-cross-attn", "-ca", action="store_true")
     p.add_argument("--text-encoder-path", "-tep", default="")
     p.add_argument("--n-parallelism", "-np", type=int, default=1)
+    p.add_argument("--batch-slots", "-bs", type=int, default=0,
+                   help="continuous-batching slots for Parler models "
+                        "(0 = off); requests decode together on-device")
     p.add_argument("--timeout", type=int, default=300)
     # accepted for reference compatibility; no-ops on TPU
     p.add_argument("--n-threads", "-nt", type=int, default=0)
@@ -427,7 +529,7 @@ def main(argv=None) -> int:
     server = build_server(args.model_path, args.default_model, config,
                           n_parallel=args.n_parallelism,
                           text_encoder_path=args.text_encoder_path,
-                          timeout=args.timeout)
+                          timeout=args.timeout, batch_slots=args.batch_slots)
     httpd = serve(server, args.host, args.port)
     if args.ssl_file_cert and args.ssl_file_key:
         import ssl
