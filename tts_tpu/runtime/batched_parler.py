@@ -85,19 +85,17 @@ def _batched_layer(cfg: ParlerConfig, x, lw, kv_k, kv_v, pos, cont,
     q = matmul(h, lw.q_w).reshape(b, nh, -1)
     k = matmul(h, lw.k_w).reshape(b, nh, -1)
     v = matmul(h, lw.v_w).reshape(b, nh, -1)
-    d = cfg.head_size
-    # Masked write that only touches the written ROW: read the old row at
-    # pos, select new-vs-old by the continue flag, write it back. Inactive
-    # slots perform an idempotent row write instead of a full-cache
-    # jnp.where (which would stream the whole (B,nh,ctx,D) cache through
-    # HBM every layer and defeat in-place DUS aliasing in the scan carry).
-    def upd(kvb, kb, pb, cb):
-        old = jax.lax.dynamic_slice(kvb, (0, pb, 0), (nh, 1, d))
-        new = jnp.where(cb, kb[:, None, :], old)
-        return jax.lax.dynamic_update_slice(kvb, new, (0, pb, 0))
-
-    kv_k = jax.vmap(upd)(kv_k, k, pos, cont)
-    kv_v = jax.vmap(upd)(kv_v, v, pos, cont)
+    # Unconditional row write — deliberately NOT masked by `cont`. A full
+    # per-slot jnp.where over the (B, nh, ctx, D) cache would stream the
+    # whole cache through HBM every layer; instead inactive slots simply
+    # overwrite the row at their frozen `pos`, which is harmless: their
+    # attention output and every state update are discarded (cont-masked),
+    # and insert_request rewrites the whole slot cache on reuse.
+    del cont
+    upd = jax.vmap(lambda kvb, kb, pb: jax.lax.dynamic_update_slice(
+        kvb, kb[:, None, :], (0, pb, 0)))
+    kv_k = upd(kv_k, k, pos)
+    kv_v = upd(kv_v, v, pos)
     attn = decode_attention_batched(q, kv_k, kv_v, pos)   # (B, nh, D)
     x = x + matmul(attn.reshape(b, cfg.hidden_size), lw.o_w)
     if use_cross:
