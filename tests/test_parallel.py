@@ -56,3 +56,17 @@ def test_dp_tp_matches_unsharded():
 
 def test_dryrun_dp_tp_entry():
     _dryrun_dp_tp(8)
+
+
+def test_distributed_single_process_fallback(monkeypatch):
+    from tts_tpu.parallel import distributed as dist
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert dist.init_distributed() is False  # no coordinator -> no-op
+
+    mesh = dist.serving_mesh(tp=4)
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.devices.shape == (len(jax.devices()) // 4, 4)
+
+    slots = dist.host_slot_range(8)
+    assert list(slots) == list(range(8))  # single process owns all slots
