@@ -73,6 +73,181 @@ def build_q4_parler(rng, n_layers=24, hidden=1024, heads=16, ffn=4096,
     return cfg, weights
 
 
+def build_kokoro_82m(rng):
+    """Kokoro-82M-shaped random weights (real dims: ALBERT 768/12, predictor
+    512, style 128, decoder 1024-ch AdainResBlks, iSTFTNet 512->256->128 with
+    kernels 3/7/11, n_fft 20 hop 5, x600 upsample)."""
+    import jax.numpy as jnp
+    from tts_tpu.models.kokoro.model import (
+        AdaLayerNormW, AdaResBlockW, AlbertLayer, DecoderW,
+        DurationPredictorW, GenResBlockW, GeneratorW, KokoroConfig,
+        KokoroWeights, NoiseBlockW, TextEncoderW)
+    from tts_tpu.ops.rnn import LSTMWeights
+
+    cfg = KokoroConfig(
+        res_block_dilations=((1, 3, 5),) * 6,
+        res_block_paddings=((1, 3, 5), (3, 9, 15), (5, 15, 25)) * 2,
+        noise_block_dilations=((1, 3, 5), (1, 3, 5)),
+        noise_block_paddings=((3, 9, 15), (5, 15, 25)),  # kernels 7, 11
+    )
+
+    def r(*s, scale=0.1):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * scale)
+
+    def lstm(inp, hid):
+        return (LSTMWeights(r(4 * hid, inp), r(4 * hid, hid),
+                            r(4 * hid), r(4 * hid)),
+                LSTMWeights(r(4 * hid, inp), r(4 * hid, hid),
+                            r(4 * hid), r(4 * hid)))
+
+    def ada_ln(c, sty):
+        return AdaLayerNormW(r(c, sty), r(c), r(c, sty), r(c))
+
+    def ada_block(cin, cout, sty, pool=False):
+        return AdaResBlockW(
+            norm1=ada_ln(cin, sty),
+            conv1_w=r(cout, cin, 3), conv1_b=r(cout),
+            norm2=ada_ln(cout, sty),
+            conv2_w=r(cout, cout, 3), conv2_b=r(cout),
+            pool_w=r(cin, 1, 3) if pool else None,
+            pool_b=r(cin) if pool else None,
+            upsample_w=r(cout, cin) if (pool or cin != cout) else None,
+            upsample_b=jnp.zeros(cout) if (pool or cin != cout) else None)
+
+    def gen_block(c, sty, k):
+        n = 3
+        return GenResBlockW(
+            adain1=[ada_ln(c, sty) for _ in range(n)],
+            adain2=[ada_ln(c, sty) for _ in range(n)],
+            alpha1=[jnp.abs(r(1, c, 1)) + 0.5 for _ in range(n)],
+            alpha2=[jnp.abs(r(1, c, 1)) + 0.5 for _ in range(n)],
+            convs1_w=[r(c, c, k) for _ in range(n)],
+            convs1_b=[r(c) for _ in range(n)],
+            convs2_w=[r(c, c, k) for _ in range(n)],
+            convs2_b=[r(c) for _ in range(n)])
+
+    H, dh, sty, emb = cfg.hidden_size, cfg.duration_hidden_size, 128, 128
+    albert = AlbertLayer(
+        q_w=r(H, H), q_b=r(H), k_w=r(H, H), k_b=r(H),
+        v_w=r(H, H), v_b=r(H), o_w=r(H, H), o_b=r(H),
+        attn_ln_w=r(H) * 0.1 + 1, attn_ln_b=r(H) * 0.1,
+        ffn_w=r(2 * H, H), ffn_b=r(2 * H),
+        ffn_out_w=r(H, 2 * H), ffn_out_b=r(H),
+        out_ln_w=r(H) * 0.1 + 1, out_ln_b=r(H) * 0.1)
+    din = dh + sty
+    prosody = DurationPredictorW(
+        encode_w=r(dh, H), encode_b=r(dh),
+        layers_lstm=[lstm(din, dh // 2) for _ in range(3)],
+        layers_ada=[ada_ln(dh, sty) for _ in range(3)],
+        duration_lstm=lstm(din, dh // 2),
+        # bias ~-2.5 => ~4 frames/token (realistic speech rate)
+        duration_proj_w=r(50, dh), duration_proj_b=r(50) - 2.5,
+        shared_lstm=lstm(din, dh // 2),
+        f0_blocks=[ada_block(dh, dh, sty),
+                   ada_block(dh, dh // 2, sty, pool=True),
+                   ada_block(dh // 2, dh // 2, sty)],
+        n_blocks=[ada_block(dh, dh, sty),
+                  ada_block(dh, dh // 2, sty, pool=True),
+                  ada_block(dh // 2, dh // 2, sty)],
+        f0_proj_w=r(1, dh // 2), f0_proj_b=r(1),
+        n_proj_w=r(1, dh // 2), n_proj_b=r(1))
+    te_c = dh
+    te = TextEncoderW(
+        embd=r(cfg.vocab_size, te_c),
+        convs=[(jnp.ones(te_c), jnp.zeros(te_c), r(te_c, te_c, 5), r(te_c))
+               for _ in range(3)],
+        lstm=lstm(te_c, dh // 2))
+    pf2 = 2 * cfg.post_n_fft  # 22 STFT channels
+    gen = GeneratorW(
+        m_source_w=r(1, cfg.harmonic_num + 1), m_source_b=r(1),
+        ups_w=[r(512, 256, 20), r(256, 128, 12)],  # convT (C_in, C_out, K)
+        ups_b=[r(256), r(128)],
+        noise_blocks=[
+            NoiseBlockW(conv_w=r(256, pf2, 12), conv_b=r(256),
+                        res=gen_block(256, sty, 7)),
+            NoiseBlockW(conv_w=r(128, pf2, 1), conv_b=r(128),
+                        res=gen_block(128, sty, 11))],
+        res_blocks=[gen_block(256, sty, k) for k in (3, 7, 11)] +
+                   [gen_block(128, sty, k) for k in (3, 7, 11)],
+        out_conv_w=r(pf2, 128, 7, scale=0.001), out_conv_b=r(pf2))
+    f0ch = 64
+    dec_in = dh + 2 * f0ch
+    dec = DecoderW(
+        f0_conv_w=r(f0ch, 1, 3), f0_conv_b=r(f0ch),
+        n_conv_w=r(f0ch, 1, 3), n_conv_b=r(f0ch),
+        asr_conv_w=r(f0ch, dh), asr_conv_b=r(f0ch),
+        encoder_block=ada_block(dec_in, 1024, sty),
+        decoder_blocks=[ada_block(1024 + 3 * f0ch, 1024, sty),
+                        ada_block(1024 + 3 * f0ch, 1024, sty),
+                        ada_block(1024 + 3 * f0ch, 1024, sty),
+                        ada_block(1024 + 3 * f0ch, 512, sty, pool=True)],
+        generator=gen)
+    w = KokoroWeights(
+        token_embd=r(cfg.vocab_size, emb),
+        position_embd=r(cfg.max_context_length, emb),
+        token_type_row=r(emb),
+        input_ln_w=r(emb) * 0.1 + 1, input_ln_b=r(emb) * 0.1,
+        embd_hidden_w=r(H, emb), embd_hidden_b=r(H),
+        albert_layers=[albert],
+        prosody=prosody, text_encoder=te, decoder=dec)
+    return cfg, w
+
+
+def bench_kokoro(rng) -> dict:
+    """Feed-forward Kokoro RTF: duration graph + generation graph on an
+    82M-shaped model, ~380-token (one chunk) input. Times exclude compile;
+    distinct inputs per run defeat the relay cache; D2H sums force
+    materialization."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from tts_tpu.models.kokoro.model import kokoro_duration, kokoro_generate
+
+    cfg, w = build_kokoro_82m(rng)
+    valid = 380
+    tokens = np.zeros(512, np.int32)
+    tokens[:valid] = rng.integers(1, cfg.vocab_size, valid)
+    tokens = jnp.asarray(tokens)
+    style = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.3)
+    style2 = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.3)
+
+    dur_fn = jax.jit(kokoro_duration, static_argnames=("cfg",))
+
+    def run_dur(eps):
+        d, h = dur_fn(cfg, w, tokens, jnp.int32(valid), style + eps)
+        return d, h, float(np.asarray(d).sum())
+
+    dur, hidden, total_f = run_dur(0.0)  # compile + warm
+    total = int(total_f)
+    n_frames = ((total // 256) + 2) * 256
+    nharm = cfg.harmonic_num + 1
+    uv = jnp.asarray(rng.random(
+        (nharm, int(2 * n_frames * cfg.upsample_scale))).astype(np.float32))
+
+    def run_gen(eps):
+        wav, tot = kokoro_generate(cfg, w, tokens, jnp.int32(valid), dur,
+                                   hidden, style, style2 + eps, uv,
+                                   n_frames=n_frames)
+        return float(np.asarray(wav).sum())
+
+    run_gen(0.0)  # compile + warm
+    t0 = time.perf_counter()
+    _, _, _ = run_dur(1e-4)
+    t_dur = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_gen(1e-4)
+    t_gen = time.perf_counter() - t0
+
+    audio_s = total * cfg.up_sampling_factor / cfg.sample_rate
+    return {
+        "kokoro_rtf": round(audio_s / (t_dur + t_gen), 2),
+        "kokoro_audio_s": round(audio_s, 2),
+        "kokoro_wall_ms": round((t_dur + t_gen) * 1e3, 1),
+        "kokoro_duration_ms": round(t_dur * 1e3, 1),
+        "kokoro_generate_ms": round(t_gen * 1e3, 1),
+    }
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -128,6 +303,14 @@ def main() -> None:
     bwall = time.perf_counter() - t0
     batched_rtf = B * 64 * SAMPLES_PER_STEP / SAMPLE_RATE / bwall
     batched_tps = 9 * B * 64 / bwall
+
+    try:
+        kokoro = bench_kokoro(np.random.default_rng(7))
+    except Exception as e:  # noqa: BLE001
+        import traceback
+        traceback.print_exc()
+        kokoro = {"kokoro_rtf": None, "kokoro_error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "parler_mini_q4_decode_rtf",
         "value": round(rtf, 4),
@@ -140,6 +323,7 @@ def main() -> None:
             "tokens_per_s": round(9 * n / wall, 2),
             "batched_rtf_8_streams": round(batched_rtf, 3),
             "batched_tokens_per_s": round(batched_tps, 1),
+            **kokoro,
             "device": str(jax.devices()[0]),
         },
     }))
