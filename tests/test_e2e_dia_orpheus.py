@@ -169,3 +169,42 @@ def test_orpheus_end_to_end(tmp_path, rng):
     heads = [[1, 2], [1, 2, 3, 4], [1, 2, 3, 4, 5, 6, 7, 0]]
     wav = runner.snac.decode(heads, seed=0)
     assert wav.shape == (8 * snac_cfg.up_sampling_factor,)
+
+
+def test_orpheus_quantize_roundtrip(tmp_path, rng):
+    """Orpheus quantization — a capability the reference lacks entirely
+    (reference README.md:25 'No quantization support yet'). Q8_0 weights
+    load through the same runner path and produce near-identical logits."""
+    import jax.numpy as jnp
+    from tts_tpu.apps.quantize import QuantizationParams, quantize_gguf
+    from tts_tpu.gguf import GGUFReader, quants
+    from tts_tpu.models.orpheus.model import orpheus_prefill
+
+    cfg, w = make_orpheus(rng)
+    src = str(tmp_path / "orpheus-f32.gguf")
+    dst = str(tmp_path / "orpheus-q8.gguf")
+    serialize_orpheus(path=src, cfg=cfg, w=w)
+    quantize_gguf(src, dst, QuantizationParams(quants.GGML_TYPE_Q8_0),
+                  log=lambda *a: None)
+
+    r = GGUFReader(dst)
+    assert r.metadata["general.quantization_type"] == quants.GGML_TYPE_Q8_0
+    # rows divisible by the 32-block quantize; others (K=16 here) stay f32
+    assert r.tensors["orpheus.layers.0.self_attn.o_proj"].type_name == "Q8_0"
+    assert r.tensors["orpheus.layers.0.mlp.down_proj"].type_name == "Q8_0"
+    assert r.tensors["orpheus.layers.0.self_attn.q_proj"].type_name == "F32"
+    assert r.tensors["orpheus.layers.0.input_layernorm"].type_name == "F32"
+    assert r.tensors["orpheus.lm_head"].type_name == "F32"
+    r.close()
+
+    ra = runner_from_file(src)
+    rb = runner_from_file(dst)
+    toks = np.zeros(8, np.int32)
+    toks[:3] = [5, 6, 8]
+    shape = (cfg.n_layers, cfg.n_kv_heads, 40, cfg.head_size)
+    la, _, _ = orpheus_prefill(ra.cfg, ra.weights, jnp.asarray(toks),
+                               jnp.int32(3), jnp.zeros(shape), jnp.zeros(shape))
+    lb, _, _ = orpheus_prefill(rb.cfg, rb.weights, jnp.asarray(toks),
+                               jnp.int32(3), jnp.zeros(shape), jnp.zeros(shape))
+    la, lb = np.asarray(la), np.asarray(lb)
+    assert np.abs(la - lb).max() < 3e-2 * max(1.0, np.abs(la).max())

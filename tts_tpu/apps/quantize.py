@@ -82,6 +82,21 @@ def parler_is_quantizable(name: str, params: QuantizationParams) -> bool:
     return quantizable
 
 
+def orpheus_is_quantizable(name: str, params: QuantizationParams) -> bool:
+    """The reference does NOT support Orpheus quantization (README.md:25);
+    this framework does: the llama projections and MLP quantize cleanly,
+    norms / rope frequency factors / SNAC stay f32."""
+    quantizable = (name.startswith("orpheus.") and
+                   "layernorm" not in name and
+                   not name.endswith("norm") and
+                   "rope_frequencies" not in name)
+    if not params.quantize_output_heads:
+        quantizable = quantizable and not name.endswith("lm_head")
+    if not params.quantize_text_embeddings:
+        quantizable = quantizable and not name.endswith("embed_tokens")
+    return quantizable
+
+
 def is_quantizable(arch: str, name: str, params: QuantizationParams) -> bool:
     if arch == "parler-tts":
         return parler_is_quantizable(name, params)
@@ -89,6 +104,8 @@ def is_quantizable(arch: str, name: str, params: QuantizationParams) -> bool:
         return dia_is_quantizable(name, params)
     if arch == "kokoro":
         return kokoro_is_quantizable(name, params)
+    if arch == "orpheus":
+        return orpheus_is_quantizable(name, params)
     raise ValueError(f"architecture {arch!r} is not supported for quantization")
 
 
