@@ -198,3 +198,16 @@ def test_parler_batched_server_matches_unbatched(tmp_path, rng):
         assert code == rcode, (text, code, body[:200])
         if code == 200:
             assert body == rbody
+
+
+def test_metrics_endpoint(dummy_server):
+    code, body, _ = _post(dummy_server + "/v1/audio/speech",
+                          {"input": "hi", "model": "dummy"})
+    assert code == 200
+    code, body, _ = _get(dummy_server + "/metrics")
+    assert code == 200
+    m = json.loads(body)
+    assert m["requests_total"] >= 1
+    assert m["audio_seconds_total"] > 0
+    assert m["state"] == "READY"
+    assert "realtime_factor" in m and "uptime_seconds" in m

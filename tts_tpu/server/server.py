@@ -218,6 +218,30 @@ class TTSServer:
         self.workers = []
         self.created = int(time.time())
         self._lock = threading.Lock()
+        # observability counters (GET /metrics); reference has none
+        self.metrics = {
+            "requests_total": 0, "requests_failed": 0,
+            "audio_seconds_total": 0.0, "wall_seconds_total": 0.0,
+        }
+
+    def record(self, task: "ServerTask", wall_s: float) -> None:
+        with self._lock:
+            self.metrics["requests_total"] += 1
+            if not task.success:
+                self.metrics["requests_failed"] += 1
+            elif task.audio is not None and task.sample_rate:
+                self.metrics["audio_seconds_total"] += (
+                    len(task.audio) / task.sample_rate)
+            self.metrics["wall_seconds_total"] += wall_s
+
+    def metrics_json(self) -> dict:
+        with self._lock:
+            m = dict(self.metrics)
+        w = m["wall_seconds_total"]
+        m["realtime_factor"] = round(m["audio_seconds_total"] / w, 4) if w else 0.0
+        m["uptime_seconds"] = int(time.time()) - self.created
+        m["state"] = self.state
+        return m
 
     # -- lifecycle -----------------------------------------------------------
     def load(self) -> None:
@@ -251,6 +275,7 @@ class TTSServer:
             task.event.set()
 
     def submit(self, task: ServerTask) -> ServerTask:
+        t0 = time.perf_counter()
         bw = self.batched_workers.get(task.model)
         if bw is not None:
             bw.submit(task)
@@ -259,6 +284,7 @@ class TTSServer:
         if not task.event.wait(self.timeout):
             task.success = False
             task.message = "request timed out"
+        self.record(task, time.perf_counter() - t0)
         return task
 
     # -- model metadata ------------------------------------------------------
@@ -319,6 +345,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if self.path == "/health":
             self._send_json(200, {"status": "ok"})
+            return
+        if self.path == "/metrics":
+            self._send_json(200, self.server_obj.metrics_json())
             return
         if not self._check_ready():
             return
