@@ -254,23 +254,30 @@ def main() -> None:
     from tts_tpu.models.parler.model import (parler_prefill,
                                              parler_generate_tokens_chunked)
 
+    from tts_tpu.common import kv_cache_dtype
+
     rng = np.random.default_rng(0)
     prompt_len = 64
-    n_steps = 128
+    n_steps = 448  # aligns with the 64+128+256 chunk schedule (no overshoot)
     cfg, weights = build_q4_parler(rng)
     cfg.max_generation_size = prompt_len + n_steps
 
+    kv_dt = kv_cache_dtype()
     shape = (cfg.n_layers, cfg.n_attn_heads, cfg.max_ctx_length, cfg.head_size)
-    kv_k0 = jnp.zeros(shape)
-    kv_v0 = jnp.zeros(shape)
+    kv_k0 = jnp.zeros(shape, kv_dt)
+    kv_v0 = jnp.zeros(shape, kv_dt)
     tokens = jnp.asarray(rng.integers(0, 900, prompt_len).astype(np.int32))
     key = jax.random.PRNGKey(0)
+
+    from tts_tpu.models.parler.model import maybe_prep_mega
+    mega, mega_qtype = maybe_prep_mega(cfg, weights)
 
     def run(k):
         kv_k, kv_v = parler_prefill(cfg, weights, tokens, kv_k0, kv_v0)
         out, steps = parler_generate_tokens_chunked(
             cfg, weights, prompt_len, kv_k, kv_v, k,
-            do_sample=True, temperature=1.0, top_k=50)
+            do_sample=True, temperature=1.0, top_k=50,
+            mega=mega, mega_qtype=mega_qtype)
         # force full materialization: block_until_ready is unreliable on the
         # axon remote platform, and identical re-runs can be served from a
         # relay cache — hence the distinct PRNG key per run and the D2H sum
@@ -317,6 +324,7 @@ def main() -> None:
         "unit": "audio_sec_per_wall_sec",
         "vs_baseline": round(rtf / REFERENCE_AUDIO_PER_WALL, 4),
         "detail": {
+            "megakernel": mega is not None,
             "steps": n,
             "wall_s": round(wall, 4),
             "steps_per_s": round(n / wall, 2),

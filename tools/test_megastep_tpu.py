@@ -1,0 +1,92 @@
+"""TPU check: pallas megastep == XLA reference megastep, then perf at
+Parler-Mini scale."""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from bench import build_q4_parler
+from tts_tpu.ops.parler_megastep import (parler_megastep,
+                                         parler_megastep_reference,
+                                         prep_mega_layers)
+
+
+def check_small():
+    rng = np.random.default_rng(0)
+    cfg, w = build_q4_parler(rng, n_layers=2, hidden=256, heads=4, ffn=512,
+                             enc_len=64, max_ctx=256)
+    mega, qtype = prep_mega_layers(w.layers)
+    L, H = cfg.n_layers, cfg.hidden_size
+    shape = (L, cfg.n_attn_heads, 256, cfg.head_size)
+    kv_k = (jnp.asarray(rng.standard_normal(shape).astype(np.float32)) * 0.3
+            ).astype(jnp.bfloat16)
+    kv_v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32)) * 0.3
+            ).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((1, H)).astype(np.float32)) * 0.5
+    pos = jnp.int32(37)
+    xo_k, kn_k, vn_k = parler_megastep(mega, x, kv_k, kv_v, pos, qtype=qtype,
+                                       use_cross=True, n_heads=cfg.n_attn_heads)
+    xo_r, kn_r, vn_r = parler_megastep_reference(
+        mega, x, kv_k, kv_v, pos, qtype=qtype, use_cross=True,
+        n_heads=cfg.n_attn_heads)
+    for name, a, b in (("x", xo_k, xo_r), ("k", kn_k, kn_r), ("v", vn_k, vn_r)):
+        an, bn = np.asarray(a), np.asarray(b)
+        rel = np.abs(an - bn).max() / (np.abs(bn).max() + 1e-9)
+        print(f"kernel vs ref {name}: rel {rel:.3e}", flush=True)
+
+
+def perf_full():
+    rng = np.random.default_rng(1)
+    cfg, w = build_q4_parler(rng)          # 24L/1024H/16 heads/4096 ffn
+    mega, qtype = prep_mega_layers(w.layers)
+    L, H = cfg.n_layers, cfg.hidden_size
+    shape = (L, cfg.n_attn_heads, cfg.max_ctx_length, cfg.head_size)
+    kv_k = jnp.zeros(shape, jnp.bfloat16)
+    kv_v = jnp.zeros(shape, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((1, H)).astype(np.float32)) * 0.5
+
+    STEPS = 256
+
+    @jax.jit
+    def run(x, mega, kv_k, kv_v):
+        def step(carry, i):
+            xx, kk, vv = carry
+            xo, kn, vn = parler_megastep(mega, xx, kk, vv, 64 + i,
+                                         qtype=qtype, use_cross=True,
+                                         n_heads=cfg.n_attn_heads)
+            kk = jax.lax.dynamic_update_slice(
+                kk, kn.reshape(L, cfg.n_attn_heads, 1, cfg.head_size
+                               ).astype(kk.dtype), (0, 0, 64 + i, 0))
+            vv = jax.lax.dynamic_update_slice(
+                vv, vn.reshape(L, cfg.n_attn_heads, 1, cfg.head_size
+                               ).astype(vv.dtype), (0, 0, 64 + i, 0))
+            return (xo, kk, vv), ()
+        (xx, _, _), _ = jax.lax.scan(step, (x, kv_k, kv_v),
+                                     jnp.arange(STEPS))
+        return xx
+
+    out = run(x, mega, kv_k, kv_v)
+    np.asarray(out).sum()
+    t0 = time.perf_counter()
+    out = run(x, mega, kv_k, kv_v)
+    np.asarray(out).sum()
+    dt = time.perf_counter() - t0
+    per = (dt - 0.033) / STEPS
+    nbytes = L * (6 * H * H + 2 * H * 4096)
+    print(f"megastep full-scale: {per*1e3:.3f} ms/step "
+          f"({nbytes/per/1e9:.0f} GB/s codes, {0.01161/per:.1f}x RT headroom)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    print("platform:", jax.devices()[0].platform, flush=True)
+    check_small()
+    perf_full()

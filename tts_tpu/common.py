@@ -87,3 +87,39 @@ class TTSResponse:
     @property
     def duration_s(self) -> float:
         return self.n_outputs / float(self.sample_rate)
+
+
+def kv_cache_dtype():
+    """Dtype for autoregressive KV caches.
+
+    bfloat16 on TPU: halves the per-step cache read (the decode loop's
+    second-largest HBM stream after the quantized weights) at <0.3% logit
+    delta; float32 elsewhere so CPU golden/parity tests stay exact. Override
+    with TTS_TPU_KV_DTYPE=float32|bfloat16.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    env = os.environ.get("TTS_TPU_KV_DTYPE")
+    if env:
+        return jnp.dtype(env)
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return jnp.bfloat16 if on_tpu else jnp.float32
+
+
+def chunk_schedule(first: int = 64, cap: int = 256):
+    """Yield decode-chunk sizes 64, 128, 256, 256, ... .
+
+    Each host-side chunk boundary costs one dispatch round-trip (~33 ms on
+    the axon relay), so chunks grow geometrically; the first chunks stay
+    small so short generations don't overshoot EOS by hundreds of steps.
+    """
+    c = first
+    while True:
+        yield c
+        c = min(c * 2, cap)

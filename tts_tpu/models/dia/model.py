@@ -263,9 +263,11 @@ def dia_generate_tokens(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v, key,
     L, nkv, d = cfg.n_decoder_layers, cfg.n_kv_heads, cfg.head_size
     delay = jnp.asarray(cfg.delay_pattern, jnp.int32)
 
+    from ...common import kv_cache_dtype as _kvdt
+    _dt = _kvdt()
     st0 = DiaDecodeState(
-        kv_k=jnp.zeros((L, 2, nkv, max_steps, d)),
-        kv_v=jnp.zeros((L, 2, nkv, max_steps, d)),
+        kv_k=jnp.zeros((L, 2, nkv, max_steps, d), _dt),
+        kv_v=jnp.zeros((L, 2, nkv, max_steps, d), _dt),
         pos=jnp.int32(0),
         tokens_in=jnp.full((nh,), cfg.bos_token_id, jnp.int32),
         delay_steps=jnp.int32(-1),
@@ -321,9 +323,11 @@ def dia_generate_tokens(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v, key,
 def _dia_init_state(cfg: DiaConfig, key, max_steps: int):
     nh = cfg.n_output_heads
     L, nkv, d = cfg.n_decoder_layers, cfg.n_kv_heads, cfg.head_size
+    from ...common import kv_cache_dtype as _kvdt
+    _dt = _kvdt()
     return DiaDecodeState(
-        kv_k=jnp.zeros((L, 2, nkv, max_steps, d)),
-        kv_v=jnp.zeros((L, 2, nkv, max_steps, d)),
+        kv_k=jnp.zeros((L, 2, nkv, max_steps, d), _dt),
+        kv_v=jnp.zeros((L, 2, nkv, max_steps, d), _dt),
         pos=jnp.int32(0),
         tokens_in=jnp.full((nh,), cfg.bos_token_id, jnp.int32),
         delay_steps=jnp.int32(-1),
@@ -388,14 +392,19 @@ def dia_decode_chunk(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v,
 
 def dia_generate_tokens_chunked(cfg: DiaConfig, w: DiaWeights, cross_k,
                                 cross_v, key, *, max_steps: int,
-                                chunk: int = 64, **gen_kw):
-    """Host-chunked Dia generation (early stop between chunks)."""
+                                chunk: int | None = None, **gen_kw):
+    """Host-chunked Dia generation (early stop between chunks; chunk sizes
+    grow 64->128->256 per common.chunk_schedule unless pinned)."""
+    from ...common import chunk_schedule
+    sched = iter(lambda: chunk, None) if chunk else chunk_schedule()
     st = _dia_init_state(cfg, key, max_steps)
     n = 0
-    while n < max_steps + cfg.max_delay + chunk:
-        st = dia_decode_chunk(cfg, w, cross_k, cross_v, st, n_steps=chunk,
+    for c in sched:
+        if n >= max_steps + cfg.max_delay + c:
+            break
+        st = dia_decode_chunk(cfg, w, cross_k, cross_v, st, n_steps=c,
                               max_steps=max_steps, **gen_kw)
-        n += chunk
+        n += c
         if bool(np.asarray(st.done)):
             break
     return st.out_tokens, st.pos

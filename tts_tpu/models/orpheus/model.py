@@ -245,7 +245,7 @@ def orpheus_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
 
 def orpheus_generate_tokens_chunked(cfg: OrpheusConfig, w: OrpheusWeights,
                                     first_token, prompt_len, kv_k, kv_v, key,
-                                    *, max_steps: int, chunk: int = 64,
+                                    *, max_steps: int, chunk: int | None = None,
                                     **gen_kw):
     out0 = jnp.zeros((max_steps,), jnp.int32).at[0].set(first_token)
     st = OrpheusState(
@@ -254,11 +254,15 @@ def orpheus_generate_tokens_chunked(cfg: OrpheusConfig, w: OrpheusWeights,
         done=jnp.asarray(first_token == cfg.stopping_token_id).reshape(()),
         out_tokens=out0, sampler_state=sampling.init_state(1),
         key=key)
+    from ...common import chunk_schedule
+    sched = iter(lambda: chunk, None) if chunk else chunk_schedule()
     n = 1
-    while n < max_steps + chunk:
-        st = orpheus_decode_chunk(cfg, w, st, n_steps=chunk,
+    for c in sched:
+        if n >= max_steps + c:
+            break
+        st = orpheus_decode_chunk(cfg, w, st, n_steps=c,
                                   max_steps=max_steps, **gen_kw)
-        n += chunk
+        n += c
         if bool(np.asarray(st.done)):
             break
     return st.out_tokens, st.n_out
@@ -338,7 +342,9 @@ class OrpheusRunner(TTSRunner):
         toks[: len(ids)] = ids
         ctx = cfg.max_context_length + cfg.max_generation_size
         shape = (cfg.n_layers, cfg.n_kv_heads, ctx, cfg.head_size)
-        kv_k = jnp.zeros(shape); kv_v = jnp.zeros(shape)
+        from ...common import kv_cache_dtype
+        dt = kv_cache_dtype()
+        kv_k = jnp.zeros(shape, dt); kv_v = jnp.zeros(shape, dt)
         logits, kv_k, kv_v = orpheus_prefill(cfg, self.weights,
                                              jnp.asarray(toks),
                                              jnp.int32(len(ids)), kv_k, kv_v)

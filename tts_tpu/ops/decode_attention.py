@@ -124,14 +124,18 @@ def _xla_fallback(q, kv_k, kv_v, pos, scale):
 
 def decode_attention(q, kv_k, kv_v, pos, page: int = 256,
                      scale: float | None = None, use_pallas: bool | None = None):
-    """Dispatching entry: Pallas paged kernel on TPU, XLA elsewhere."""
+    """Dispatching entry: XLA masked softmax for short caches (measured
+    faster than the paged kernel up to ~1.5k rows — the pallas per-call cost
+    exceeds the masked rows' read), paged Pallas kernel for long caches on
+    TPU, XLA elsewhere."""
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
     if use_pallas is None:
         try:
-            use_pallas = jax.devices()[0].platform == "tpu"
+            on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
-            use_pallas = False
+            on_tpu = False
+        use_pallas = on_tpu and kv_k.shape[-2] > 1536
     if use_pallas:
         return paged_decode_attention(q, kv_k, kv_v, pos, page=page, scale=scale)
     return _xla_fallback(q, kv_k, kv_v, pos, scale)

@@ -1,0 +1,435 @@
+"""Whole-transformer decode megastep — ONE Pallas kernel for all L layers.
+
+Why: the decode step is weight-bandwidth-bound (~400 MB of quantized weights
+per token), but a per-matmul pallas_call design pays ~5 us of fixed cost per
+call (~200 calls/step = ~1 ms) and dequantizing int8 codes to f32 on the VPU
+caps the stream at ~170 GB/s. This kernel instead:
+
+  * runs the WHOLE layer stack in one pallas_call with grid=(L,), carrying
+    the activation in VMEM scratch — DMA of layer l+1's weights overlaps
+    layer l's compute, zero per-call overhead between layers;
+  * never dequantizes weights: it quantizes the activation row to int8
+    (per-row absmax scale — the TPU analog of GGML's Q8_0 activation quant
+    in ggml vec_dot_q4_0_q8_0), embeds it block-diagonally as (K/32, K) and
+    does ONE int8 MXU matmul per projection, producing per-32-block partial
+    dots; the f32 epilogue applies GGUF block scales on the (K/32, N)
+    partials — 32x less VPU work than per-element dequant;
+  * keeps the KV cache in bf16 and computes attention per head on the MXU
+    with the current token's K/V folded analytically into the softmax, so
+    the cache write stays outside (one tiny dynamic_update_slice in XLA).
+
+Reference parity: the math is the reference decode step
+(src/models/parler/model.cpp:520-614) with GGML-style integer dot products
+(ggml-quants vec_dot_q4_0_q8_0); activation quantization uses one absmax
+scale per row instead of per-32 (documented divergence; error is below the
+Q4 weight-quantization noise floor) and round-ties-to-even instead of
+roundf.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..gguf import quants
+
+QK = 32
+_BIAS = {
+    quants.GGML_TYPE_Q4_0: 8.0,
+    quants.GGML_TYPE_Q5_0: 16.0,
+    quants.GGML_TYPE_Q8_0: 0.0,
+}
+
+
+class MegaLayers(NamedTuple):
+    """Per-layer weights in megakernel layout (all leaves stacked on L).
+
+    codes are transposed-planar int8 (K, N); scales f32 (K//32, N).
+    qkv = concat(q, k, v) on N; occ = concat(o, cq, co) on N.
+    norms packs (ln1_w, ln1_b, lnc_w, lnc_b, ln2_w, ln2_b).
+    """
+
+    qkv_codes: Any   # (L, H, 3H) i8
+    qkv_scales: Any  # (L, H//32, 3H) f32
+    occ_codes: Any   # (L, H, 3H) i8
+    occ_scales: Any  # (L, H//32, 3H) f32
+    fc1_codes: Any   # (L, H, F) i8
+    fc1_scales: Any  # (L, H//32, F) f32
+    fc2_codes: Any   # (L, F, H) i8
+    fc2_scales: Any  # (L, F//32, H) f32
+    norms: Any       # (L, 6, H) f32
+    cross_k: Any     # (L, heads, Tc, D) f32
+    cross_v: Any     # (L, heads, Tc, D) f32
+
+
+def prep_mega_layers(layers) -> tuple[MegaLayers, int]:
+    """Build MegaLayers from stacked ParlerLayerWeights whose 8 projection
+    weights are QuantTensors of one shared qtype. Raises ValueError if the
+    layout doesn't qualify (caller falls back to the per-matmul path)."""
+    from .quant_matmul import QuantTensor
+
+    mats = dict(q=layers.q_w, k=layers.k_w, v=layers.v_w, o=layers.o_w,
+                cq=layers.cq_w, co=layers.co_w, f1=layers.fc1, f2=layers.fc2)
+    if not all(isinstance(m, QuantTensor) for m in mats.values()):
+        raise ValueError("megastep needs all projections quantized")
+    qtypes = {m.qtype for m in mats.values()}
+    if len(qtypes) != 1 or next(iter(qtypes)) not in _BIAS:
+        raise ValueError(f"megastep needs one uniform qtype, got {qtypes}")
+    qtype = next(iter(qtypes))
+
+    def cat(ms, axis=-1):
+        return (jnp.concatenate([m.codes_t for m in ms], axis=axis),
+                jnp.concatenate([m.scales_t.astype(jnp.float32) for m in ms],
+                                axis=axis))
+
+    qkv_c, qkv_s = cat([mats["q"], mats["k"], mats["v"]])
+    occ_c, occ_s = cat([mats["o"], mats["cq"], mats["co"]])
+    norms = jnp.stack([layers.ln1_w, layers.ln1_b, layers.lnc_w,
+                       layers.lnc_b, layers.ln2_w, layers.ln2_b], axis=1)
+    mega = MegaLayers(
+        qkv_codes=qkv_c.astype(jnp.int8), qkv_scales=qkv_s,
+        occ_codes=occ_c.astype(jnp.int8), occ_scales=occ_s,
+        fc1_codes=mats["f1"].codes_t.astype(jnp.int8),
+        fc1_scales=mats["f1"].scales_t.astype(jnp.float32),
+        fc2_codes=mats["f2"].codes_t.astype(jnp.int8),
+        fc2_scales=mats["f2"].scales_t.astype(jnp.float32),
+        norms=norms.astype(jnp.float32),
+        cross_k=layers.cross_k.astype(jnp.float32),
+        cross_v=layers.cross_v.astype(jnp.float32),
+    )
+    return mega, qtype
+
+
+# ---------------------------------------------------------------------------
+# kernel helpers (traced inside the pallas kernel)
+# ---------------------------------------------------------------------------
+
+def _ln(x, w, b, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _quant_row(h):
+    """(8, K) f32 (rows identical) -> (xq (8, K) f32-int-valued, sx scalar)."""
+    amax = jnp.max(jnp.abs(h[0:1]))
+    sx = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.round(h / sx)
+    return xq, sx
+
+
+def _block_diag(xq, k):
+    """Row 0 of xq (8, K) -> (K//32, K) int8 block-diagonal."""
+    b = k // QK
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, k), 0)
+    xb = jnp.broadcast_to(xq[0:1], (b, k))
+    return jnp.where(cols // QK == rows, xb, 0.0).astype(jnp.int32).astype(jnp.int8)
+
+
+def _qdot(xd, sx, codes, scales, bias):
+    """Block-diag int8 activations (B, K) x int8 codes (K, N) -> (1, N) f32.
+
+    out = sx * sum_b scales[b, :] * (P[b, :] - bias * Sx[b]) with P the int8
+    MXU partial dots and Sx the per-block activation sums (also via MXU).
+    """
+    k = xd.shape[1]
+    p = jax.lax.dot_general(
+        xd, codes, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)     # (B, N)
+    if bias:
+        ones = jnp.ones((k, 1), jnp.int8)
+        sxs = jax.lax.dot_general(
+            xd, ones, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)  # (B, 1)
+        p = p - bias * sxs
+    contrib = p * scales                                           # (B, N)
+    return jnp.sum(contrib, axis=0, keepdims=True) * sx            # (1, N)
+
+
+def _attend_cached(q_row, kc, vc, k_row, v_row, pos, n_heads, d, scale):
+    """Single-token attention over a bf16 cache + the current token.
+
+    q_row/k_row/v_row: (1 or 8, H) f32 rows (identical rows); kc/vc:
+    (heads, CTX, D). Cache rows [0, pos) are history; the current token's
+    K/V are folded analytically (they are not in the cache yet). Returns
+    (8, H) f32 attention output (rows identical)."""
+    ctx = kc.shape[1]
+    outs = []
+    for h in range(n_heads):
+        qh = q_row[:, h * d:(h + 1) * d] * scale                 # (8, D)
+        kh = kc[h].astype(jnp.float32)                           # (CTX, D)
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (8, CTX)
+        t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(t < pos, s, -jnp.inf)
+        kcur = k_row[:, h * d:(h + 1) * d]                       # (8, D)
+        s_cur = jnp.sum(qh * kcur, axis=1, keepdims=True)        # (8, 1)
+        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_cur)
+        ph = jnp.exp(s - m)                                      # (8, CTX)
+        pc = jnp.exp(s_cur - m)                                  # (8, 1)
+        denom = jnp.sum(ph, axis=1, keepdims=True) + pc
+        vh = vc[h].astype(jnp.float32)                           # (CTX, D)
+        av = jax.lax.dot_general(
+            ph, vh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (8, D)
+        vcur = v_row[:, h * d:(h + 1) * d]
+        outs.append((av + pc * vcur) / denom)
+    return jnp.concatenate(outs, axis=1)                         # (8, H)
+
+
+def _attend_cross(q_row, ck, cv, n_heads, d, scale):
+    """Cross attention over precomputed (heads, Tc, D) f32 K/V (full Tc)."""
+    outs = []
+    for h in range(n_heads):
+        qh = q_row[:, h * d:(h + 1) * d] * scale
+        s = jax.lax.dot_general(
+            qh, ck[h], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (8, Tc)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p, cv[h], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _megastep_kernel(pos_ref, x_ref, qkv_c, qkv_s, occ_c, occ_s,
+                     f1_c, f1_s, f2_c, f2_s, norms, ck_ref, cv_ref,
+                     kc_ref, vc_ref,
+                     x_out, k_out, v_out, x_scr,
+                     *, n_layers, n_heads, hidden, bias, use_cross):
+    l = pl.program_id(0)
+    d = hidden // n_heads
+    scale = 1.0 / np.sqrt(d)
+    pos = pos_ref[0]
+
+    @pl.when(l == 0)
+    def _():
+        x_scr[:] = x_ref[:]
+
+    x = x_scr[:]                                                  # (8, H)
+    nm = norms[0]                                                 # (6, H)
+
+    # --- self attention ---
+    h1 = _ln(x, nm[0:1], nm[1:2])
+    xq, sx = _quant_row(h1)
+    xd = _block_diag(xq, hidden)
+    qkv = _qdot(xd, sx, qkv_c[0], qkv_s[0], bias)                 # (1, 3H)
+    qkv8 = jnp.broadcast_to(qkv, (8, 3 * hidden))
+    q_row = qkv8[:, :hidden]
+    k_row = qkv8[:, hidden:2 * hidden]
+    v_row = qkv8[:, 2 * hidden:]
+    k_out[0] = k_row
+    v_out[0] = v_row
+    attn = _attend_cached(q_row, kc_ref[0], vc_ref[0], k_row, v_row,
+                          pos, n_heads, d, scale)
+    aq, asx = _quant_row(attn)
+    ad = _block_diag(aq, hidden)
+    o = _qdot(ad, asx, occ_c[0][:, :hidden], occ_s[0][:, :hidden], bias)
+    x = x + jnp.broadcast_to(o, x.shape)
+
+    # --- cross attention (precomputed K/V) ---
+    if use_cross:
+        h2 = _ln(x, nm[2:3], nm[3:4])
+        cq_q, cq_sx = _quant_row(h2)
+        cqd = _block_diag(cq_q, hidden)
+        cq = _qdot(cqd, cq_sx, occ_c[0][:, hidden:2 * hidden],
+                   occ_s[0][:, hidden:2 * hidden], bias)
+        cq8 = jnp.broadcast_to(cq, (8, hidden))
+        ca = _attend_cross(cq8, ck_ref[0], cv_ref[0], n_heads, d, scale)
+        caq, ca_sx = _quant_row(ca)
+        cad = _block_diag(caq, hidden)
+        co = _qdot(cad, ca_sx, occ_c[0][:, 2 * hidden:],
+                   occ_s[0][:, 2 * hidden:], bias)
+        x = x + jnp.broadcast_to(co, x.shape)
+
+    # --- MLP ---
+    h3 = _ln(x, nm[4:5], nm[5:6])
+    mq, msx = _quant_row(h3)
+    md = _block_diag(mq, hidden)
+    up = _qdot(md, msx, f1_c[0], f1_s[0], bias)                   # (1, F)
+    up = jax.nn.gelu(jnp.broadcast_to(up, (8, up.shape[1])), approximate=True)
+    uq, usx = _quant_row(up)
+    ud = _block_diag(uq, up.shape[1])
+    down = _qdot(ud, usx, f2_c[0], f2_s[0], bias)                 # (1, H)
+    x = x + jnp.broadcast_to(down, x.shape)
+
+    x_scr[:] = x
+
+    @pl.when(l == n_layers - 1)
+    def _():
+        x_out[:] = x
+
+
+def parler_megastep(mega: MegaLayers, x, kv_k, kv_v, pos, *, qtype: int,
+                    use_cross: bool, n_heads: int):
+    """x (1, H) f32; kv_k/kv_v (L, heads, CTX, D); pos = current cache row.
+
+    Returns (x_out (1, H) f32 pre-final-norm, k_new (L, H), v_new (L, H)):
+    the caller writes k_new/v_new at cache row `pos` and applies the final
+    layer norm + LM heads. Dispatches to the pallas kernel on TPU and to the
+    XLA reference elsewhere (identical math; lets CPU tests cover the
+    integrated path).
+    """
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu:
+        return parler_megastep_reference(mega, x, kv_k, kv_v, pos,
+                                         qtype=qtype, use_cross=use_cross,
+                                         n_heads=n_heads)
+    return _parler_megastep_tpu(mega, x, kv_k, kv_v, pos, qtype=qtype,
+                                use_cross=use_cross, n_heads=n_heads)
+
+
+@functools.partial(jax.jit, static_argnames=("qtype", "use_cross", "n_heads"))
+def _parler_megastep_tpu(mega: MegaLayers, x, kv_k, kv_v, pos, *, qtype: int,
+                         use_cross: bool, n_heads: int):
+    L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
+    f = mega.fc1_codes.shape[2]
+    heads, ctx, d = kv_k.shape[1], kv_k.shape[2], kv_k.shape[3]
+    tc = mega.cross_k.shape[2]
+    x8 = jnp.broadcast_to(x.astype(jnp.float32), (8, hidden))
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    def at_l(i, p):
+        return (i, 0, 0)
+
+    def at_l4(i, p):
+        return (i, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((8, hidden), lambda i, p: (0, 0)),
+            pl.BlockSpec((1, hidden, 3 * hidden), at_l),
+            pl.BlockSpec((1, hidden // QK, 3 * hidden), at_l),
+            pl.BlockSpec((1, hidden, 3 * hidden), at_l),
+            pl.BlockSpec((1, hidden // QK, 3 * hidden), at_l),
+            pl.BlockSpec((1, hidden, f), at_l),
+            pl.BlockSpec((1, hidden // QK, f), at_l),
+            pl.BlockSpec((1, f, hidden), at_l),
+            pl.BlockSpec((1, f // QK, hidden), at_l),
+            pl.BlockSpec((1, 6, hidden), at_l),
+            pl.BlockSpec((1, heads, tc, d), at_l4),
+            pl.BlockSpec((1, heads, tc, d), at_l4),
+            pl.BlockSpec((1, heads, ctx, d), at_l4),
+            pl.BlockSpec((1, heads, ctx, d), at_l4),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, hidden), lambda i, p: (0, 0)),
+            pl.BlockSpec((1, 8, hidden), at_l),
+            pl.BlockSpec((1, 8, hidden), at_l),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, hidden), jnp.float32)],
+    )
+    x_out, k_new, v_new = pl.pallas_call(
+        functools.partial(_megastep_kernel, n_layers=L, n_heads=n_heads,
+                          hidden=hidden, bias=_BIAS[qtype],
+                          use_cross=use_cross),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8, hidden), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(pos_arr, x8, mega.qkv_codes, mega.qkv_scales, mega.occ_codes,
+      mega.occ_scales, mega.fc1_codes, mega.fc1_scales, mega.fc2_codes,
+      mega.fc2_scales, mega.norms, mega.cross_k, mega.cross_v, kv_k, kv_v)
+    return x_out[:1], k_new[:, 0, :], v_new[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (same math, no pallas) — used on CPU and in tests
+# ---------------------------------------------------------------------------
+
+def _qdot_ref(h_row, codes, scales, bias):
+    """h_row (1, K) f32 -> (1, N): same int8 per-row-quant math as the
+    kernel, in plain XLA (exact integer arithmetic via f32 dots on small
+    ints)."""
+    k = h_row.shape[1]
+    amax = jnp.max(jnp.abs(h_row))
+    sx = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.round(h_row / sx)                                    # (1, K)
+    b = k // QK
+    xb = xq.reshape(b, QK)
+    cf = codes.astype(jnp.float32)                                # (K, N)
+    p = jnp.einsum("bq,bqn->bn", xb, cf.reshape(b, QK, -1),
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)           # (B, N)
+    if bias:
+        p = p - bias * jnp.sum(xb, axis=1, keepdims=True)
+    return (jnp.sum(p * scales, axis=0, keepdims=True) * sx)
+
+
+def parler_megastep_reference(mega: MegaLayers, x, kv_k, kv_v, pos, *,
+                              qtype: int, use_cross: bool, n_heads: int):
+    """Pure-XLA mirror of parler_megastep (same activation-quant math)."""
+    L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
+    d = hidden // n_heads
+    scale = 1.0 / np.sqrt(d)
+    bias = _BIAS[qtype]
+    x = x.astype(jnp.float32)
+
+    def ln(xx, w, b):
+        return _ln(xx, w[None, :], b[None, :])
+
+    def layer(carry, inp):
+        xx = carry
+        (qkv_c, qkv_s, occ_c, occ_s, f1_c, f1_s, f2_c, f2_s, nm, ck, cv,
+         kc, vc) = inp
+        h1 = ln(xx, nm[0], nm[1])
+        qkv = _qdot_ref(h1, qkv_c, qkv_s, bias)
+        q_row, k_row, v_row = (qkv[:, :hidden], qkv[:, hidden:2 * hidden],
+                               qkv[:, 2 * hidden:])
+        qh = q_row.reshape(n_heads, 1, d) * scale
+        kh = kc.astype(jnp.float32)                               # (heads, CTX, D)
+        s = jnp.einsum("hqd,htd->hqt", qh, kh)
+        t = jnp.arange(kc.shape[1])
+        s = jnp.where(t[None, None, :] < pos, s, -jnp.inf)
+        s_cur = jnp.sum(qh * k_row.reshape(n_heads, 1, d), axis=2,
+                        keepdims=True)                            # (h,1,1)
+        m = jnp.maximum(jnp.max(s, axis=2, keepdims=True), s_cur)
+        ph = jnp.exp(s - m)
+        pc = jnp.exp(s_cur - m)
+        denom = jnp.sum(ph, axis=2, keepdims=True) + pc
+        av = jnp.einsum("hqt,htd->hqd", ph, vc.astype(jnp.float32))
+        attn = ((av + pc * v_row.reshape(n_heads, 1, d)) / denom)
+        attn = attn.reshape(1, hidden)
+        o = _qdot_ref(attn, occ_c[:, :hidden], occ_s[:, :hidden], bias)
+        xx = xx + o
+        if use_cross:
+            h2 = ln(xx, nm[2], nm[3])
+            cq = _qdot_ref(h2, occ_c[:, hidden:2 * hidden],
+                           occ_s[:, hidden:2 * hidden], bias)
+            cqh = cq.reshape(n_heads, 1, d) * scale
+            s2 = jnp.einsum("hqd,htd->hqt", cqh, ck)
+            p2 = jax.nn.softmax(s2, axis=-1)
+            ca = jnp.einsum("hqt,htd->hqd", p2, cv).reshape(1, hidden)
+            co = _qdot_ref(ca, occ_c[:, 2 * hidden:],
+                           occ_s[:, 2 * hidden:], bias)
+            xx = xx + co
+        h3 = ln(xx, nm[4], nm[5])
+        up = _qdot_ref(h3, f1_c, f1_s, bias)
+        up = jax.nn.gelu(up, approximate=True)
+        down = _qdot_ref(up, f2_c, f2_s, bias)
+        xx = xx + down
+        return xx, (k_row[0], v_row[0])
+
+    xs = (mega.qkv_codes, mega.qkv_scales, mega.occ_codes, mega.occ_scales,
+          mega.fc1_codes, mega.fc1_scales, mega.fc2_codes, mega.fc2_scales,
+          mega.norms, mega.cross_k, mega.cross_v, kv_k, kv_v)
+    x_out, (k_new, v_new) = jax.lax.scan(layer, x, xs)
+    return x_out, k_new, v_new

@@ -73,14 +73,24 @@ def sample(key: jax.Array, logits: jax.Array, state: SamplerState,
         x = _penalized(x, state, repetition_penalty)
     if temperature != 1.0:
         x = x / temperature
-    probs = jax.nn.softmax(x, axis=-1)
 
-    order = jnp.argsort(-probs, axis=-1)  # descending
-    sorted_p = jnp.take_along_axis(probs, order, axis=-1)
-    j = jnp.arange(v)[None, :]
-    keep = jnp.ones((h, v), bool)
     if 0 < top_k < v:
-        keep = keep & (j < top_k)
+        # Fast path: a full (H, V) argsort costs ~10x the rest of the decode
+        # sampler on TPU; only the top_k entries can ever be selected, and
+        # their full-softmax probabilities need just the global logsumexp.
+        # Semantics identical to the sorted-full-vocab path below (including
+        # the overflow-mass-on-last-pick behavior, sampler.cpp:139-169).
+        topv, order = jax.lax.top_k(x, top_k)              # (H, k) desc
+        lse = jax.nn.logsumexp(x, axis=-1, keepdims=True)  # full-vocab Z
+        sorted_p = jnp.exp(topv - lse)                     # true softmax mass
+        keep = jnp.ones((h, top_k), bool)
+        v_eff = top_k
+    else:
+        probs = jax.nn.softmax(x, axis=-1)
+        order = jnp.argsort(-probs, axis=-1)  # descending
+        sorted_p = jnp.take_along_axis(probs, order, axis=-1)
+        keep = jnp.ones((h, v), bool)
+        v_eff = v
     kept_p = jnp.where(keep, sorted_p, 0.0)
     cum = jnp.cumsum(kept_p, axis=-1)
     if top_p < 1.0:
@@ -91,18 +101,16 @@ def sample(key: jax.Array, logits: jax.Array, state: SamplerState,
         cum = jnp.cumsum(kept_p, axis=-1)
         max_head_prob = jnp.minimum(jnp.sum(kept_p, axis=-1), top_p)
     else:
+        # reference: u in [0,1) vs cumsum of top-k probs; overflow mass
+        # falls on the last pick, equivalent to clamping u at the sum.
         max_head_prob = jnp.ones((h,))
-        if 0 < top_k < v:
-            # reference: u in [0,1) vs cumsum of top-k probs; overflow mass
-            # falls on the last pick, equivalent to clamping u at the sum.
-            max_head_prob = jnp.ones((h,))
 
     u = jax.random.uniform(key, (h,)) * max_head_prob
     found = keep & (cum >= u[:, None])
     first_hit = jnp.argmax(found, axis=-1)
     any_hit = jnp.any(found, axis=-1)
     # fallback: last kept index (reference picks[i].size() - 1 clause)
-    last_kept = v - 1 - jnp.argmax(jnp.flip(keep, axis=-1), axis=-1)
+    last_kept = v_eff - 1 - jnp.argmax(jnp.flip(keep, axis=-1), axis=-1)
     pos = jnp.where(any_hit, first_hit, last_kept)
     tokens = jnp.take_along_axis(order, pos[:, None], axis=-1)[:, 0].astype(jnp.int32)
     new_state = update_state(state, tokens) if repetition_penalty != 1.0 else state
@@ -134,6 +142,14 @@ def init_batched_state(b: int, n_heads: int) -> BatchedSamplerState:
     )
 
 
+BATCHED_TOP_K_CAP = 256
+"""Static cap on per-request top_k in the batched engine: the batched
+sampler pre-selects the BATCHED_TOP_K_CAP highest-probability tokens with
+`lax.top_k` instead of a full-vocab sort (10x+ faster on TPU). Requests with
+top_k == 0 (no restriction) or top_k > the cap are truncated to the cap; for
+nucleus sampling this only clips mass deeper than the top-256 tokens."""
+
+
 def sample_batched(key: jax.Array, logits: jax.Array,
                    state: BatchedSamplerState, *, do_sample: jax.Array,
                    temperature: jax.Array, top_k: jax.Array,
@@ -142,9 +158,11 @@ def sample_batched(key: jax.Array, logits: jax.Array,
     request, so one compiled program serves mixed-config batches).
 
     Semantics per request match `sample`/`greedy`: greedy rows take the raw
-    argmax; sampled rows apply penalty/temperature/top-k/top-p.
+    argmax; sampled rows apply penalty/temperature/top-k/top-p (top-k capped
+    at BATCHED_TOP_K_CAP, see above).
     """
     b, h, v = logits.shape
+    kmax = min(BATCHED_TOP_K_CAP, v)
     x = logits.astype(jnp.float32)
     # repetition penalty (division of the consecutive last token's logit)
     tok = jnp.arange(v)[None, None, :]
@@ -153,12 +171,13 @@ def sample_batched(key: jax.Array, logits: jax.Array,
     pen = jnp.where(repetition_penalty[:, None, None] != 1.0,
                     jnp.where(hit, x / factor[:, :, None], x), x)
     temp = jnp.maximum(temperature, 1e-6)[:, None, None]
-    probs = jax.nn.softmax(pen / temp, axis=-1)
-
-    order = jnp.argsort(-probs, axis=-1)
-    sorted_p = jnp.take_along_axis(probs, order, axis=-1)
-    j = jnp.arange(v)[None, None, :]
-    keep = jnp.where(top_k[:, None, None] > 0, j < top_k[:, None, None], True)
+    scaled = pen / temp
+    topv, order = jax.lax.top_k(scaled, kmax)              # (B, H, kmax) desc
+    lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+    sorted_p = jnp.exp(topv - lse)                          # full-softmax mass
+    j = jnp.arange(kmax)[None, None, :]
+    k_eff = jnp.where(top_k > 0, jnp.minimum(top_k, kmax), kmax)
+    keep = j < k_eff[:, None, None]
     kept_p = jnp.where(keep, sorted_p, 0.0)
     cum = jnp.cumsum(kept_p, axis=-1)
     use_tp = top_p[:, None, None] < 1.0
@@ -172,7 +191,7 @@ def sample_batched(key: jax.Array, logits: jax.Array,
     found = keep & (cum >= u[:, :, None])
     first_hit = jnp.argmax(found, axis=-1)
     any_hit = jnp.any(found, axis=-1)
-    last_kept = v - 1 - jnp.argmax(jnp.flip(keep, axis=-1), axis=-1)
+    last_kept = kmax - 1 - jnp.argmax(jnp.flip(keep, axis=-1), axis=-1)
     posn = jnp.where(any_hit, first_hit, last_kept)
     sampled = jnp.take_along_axis(order, posn[:, :, None], axis=-1)[:, :, 0]
     greedy_t = jnp.argmax(x, axis=-1)

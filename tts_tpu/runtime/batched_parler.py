@@ -51,9 +51,11 @@ def init_batched_state(cfg: ParlerConfig, b: int, key) -> BatchedParlerState:
     L, nh, ctx, d = (cfg.n_layers, cfg.n_attn_heads, cfg.max_ctx_length,
                      cfg.head_size)
     no = cfg.n_output_heads
+    from ..common import kv_cache_dtype
+    dt = kv_cache_dtype()
     return BatchedParlerState(
-        kv_k=jnp.zeros((L, b, nh, ctx, d)),
-        kv_v=jnp.zeros((L, b, nh, ctx, d)),
+        kv_k=jnp.zeros((L, b, nh, ctx, d), dt),
+        kv_v=jnp.zeros((L, b, nh, ctx, d), dt),
         pos=jnp.zeros((b,), jnp.int32),
         step=jnp.zeros((b,), jnp.int32),
         tokens_in=jnp.full((b, no), cfg.bos_token_id, jnp.int32),
@@ -93,7 +95,7 @@ def _batched_layer(cfg: ParlerConfig, x, lw, kv_k, kv_v, pos, cont,
     # and insert_request rewrites the whole slot cache on reuse.
     del cont
     upd = jax.vmap(lambda kvb, kb, pb: jax.lax.dynamic_update_slice(
-        kvb, kb[:, None, :], (0, pb, 0)))
+        kvb, kb[:, None, :].astype(kvb.dtype), (0, pb, 0)))
     kv_k = upd(kv_k, k, pos)
     kv_v = upd(kv_v, v, pos)
     attn = decode_attention_batched(q, kv_k, kv_v, pos)   # (B, nh, D)
@@ -183,9 +185,9 @@ def insert_request(cfg: ParlerConfig, st: BatchedParlerState, slot,
     nh = cfg.n_output_heads
     return st._replace(
         kv_k=jax.lax.dynamic_update_slice(
-            st.kv_k, kv_k_req[:, None], (0, slot, 0, 0, 0)),
+            st.kv_k, kv_k_req[:, None].astype(st.kv_k.dtype), (0, slot, 0, 0, 0)),
         kv_v=jax.lax.dynamic_update_slice(
-            st.kv_v, kv_v_req[:, None], (0, slot, 0, 0, 0)),
+            st.kv_v, kv_v_req[:, None].astype(st.kv_v.dtype), (0, slot, 0, 0, 0)),
         pos=st.pos.at[slot].set(prompt_len),
         step=st.step.at[slot].set(0),
         tokens_in=st.tokens_in.at[slot].set(
@@ -240,8 +242,10 @@ class BatchedParlerEngine:
         tokens[: len(ids)] = ids
         shape = (cfg.n_layers, cfg.n_attn_heads, cfg.max_ctx_length,
                  cfg.head_size)
+        from ..common import kv_cache_dtype
+        dt = kv_cache_dtype()
         kv_k, kv_v = parler_prefill(cfg, self.weights, jnp.asarray(tokens),
-                                    jnp.zeros(shape), jnp.zeros(shape),
+                                    jnp.zeros(shape, dt), jnp.zeros(shape, dt),
                                     use_cross=cfg.use_cross_attn)
         return kv_k, kv_v, len(ids)
 
