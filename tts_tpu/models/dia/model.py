@@ -381,9 +381,12 @@ def dia_decode_chunk(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v,
         new_st = DiaDecodeState(kv_k, kv_v, new_pos, nxt, ds,
                                 jnp.asarray(False), out, s_state, key)
         frozen = st._replace(done=jnp.asarray(True))
+        # KV passes through unmasked (a select would stream the whole cache
+        # per step); frozen-state row writes at the stale pos are harmless.
         st = jax.tree_util.tree_map(
             lambda a, b: jnp.where(jnp.reshape(now_done, (1,) * a.ndim), a, b)
-            if a.ndim else jnp.where(now_done, a, b), frozen, new_st)
+            if a.ndim else jnp.where(now_done, a, b),
+            frozen._replace(kv_k=new_st.kv_k, kv_v=new_st.kv_v), new_st)
         return st, None
 
     st, _ = jax.lax.scan(step, st, None, length=n_steps)

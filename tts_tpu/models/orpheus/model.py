@@ -234,9 +234,12 @@ def orpheus_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
         new_st = OrpheusState(kv_k2, kv_v2, st.pos + 1, tok, st.n_out + 1,
                               tok == cfg.stopping_token_id, out, s_state, key)
         frozen = st._replace(done=st.done | now_done)
+        # KV passes through unmasked (a select would stream the whole cache
+        # per step); frozen-state row writes at the stale pos are harmless.
         st = jax.tree_util.tree_map(
             lambda a, b: jnp.where(jnp.reshape(now_done, (1,) * a.ndim), a, b)
-            if a.ndim else jnp.where(now_done, a, b), frozen, new_st)
+            if a.ndim else jnp.where(now_done, a, b),
+            frozen._replace(kv_k=new_st.kv_k, kv_v=new_st.kv_v), new_st)
         return st, None
 
     st, _ = jax.lax.scan(step, st, None, length=n_steps)

@@ -315,9 +315,24 @@ def parler_decode_chunk(cfg: ParlerConfig, w: ParlerWeights, st: DecodeState,
     def step(st, _):
         keep = _parler_not_done(cfg, st)
         st2 = body(st)
-        st = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(keep, b, a) if a.ndim == 0 else
-            jnp.where(jnp.reshape(keep, (1,) * a.ndim), b, a), st, st2)
+        # Freeze the small state leaves when done — but pass the KV caches
+        # through UNMASKED: a keep-masked select would stream the whole
+        # (L, heads, ctx, D) cache through HBM every step (~0.6 ms). The
+        # frozen-state body writes K/V at the stale `pos`, which is harmless:
+        # pos does not advance, attention masks rows >= pos, and a real step
+        # would overwrite that row.
+        def sel(a, b):
+            return jnp.where(keep, b, a) if a.ndim == 0 else \
+                jnp.where(jnp.reshape(keep, (1,) * a.ndim), b, a)
+        st = DecodeState(
+            kv_k=st2.kv_k, kv_v=st2.kv_v,
+            pos=sel(st.pos, st2.pos), step=sel(st.step, st2.step),
+            tokens_in=sel(st.tokens_in, st2.tokens_in),
+            eos_seen=sel(st.eos_seen, st2.eos_seen),
+            out_tokens=sel(st.out_tokens, st2.out_tokens),
+            sampler_state=jax.tree_util.tree_map(sel, st.sampler_state,
+                                                 st2.sampler_state),
+            key=sel(st.key, st2.key))
         return st, None
 
     st, _ = jax.lax.scan(step, st, None, length=n_steps)
