@@ -60,6 +60,7 @@ def serialize_dia(path, cfg, w, dac=None, dac_cfg=None):
         max_encoder_context=cfg.max_encoder_context_length,
         eos_token_id=cfg.eos_token_id, bos_token_id=cfg.bos_token_id,
         pad_token_id=cfg.pad_token_id, max_delay=cfg.max_delay,
+        delay_pattern=cfg.delay_pattern,
         tensors=t)
 
 
@@ -70,9 +71,7 @@ def test_dia_end_to_end(tmp_path, rng):
     serialize_dia(path, cfg, w)
     runner = runner_from_file(path)
     assert runner.arch == "dia"
-    # delay pattern defaults don't match the tiny config; restrict gen length
-    runner.cfg.delay_pattern = cfg.delay_pattern
-    runner.cfg.max_delay = cfg.max_delay
+    assert runner.cfg.delay_pattern == cfg.delay_pattern
     codes = runner.generate_codes("[S1] hi there.",
                                   GenerationConfig(sample=False, seed=0,
                                                    max_tokens=20))

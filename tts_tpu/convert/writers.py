@@ -219,6 +219,7 @@ def write_dia_gguf(
     pad_token_id: int,
     max_delay: int,
     tensors: Dict[str, np.ndarray],
+    delay_pattern: Optional[Sequence[int]] = None,
     dac_tensors: Optional[Dict[str, np.ndarray]] = None,
     dac_strides: Sequence[int] = (8, 8, 4, 2),
     dac_paddings: Sequence[int] = (4, 4, 2, 1),
@@ -244,6 +245,10 @@ def write_dia_gguf(
     w.add_u32("dia.decoder.output_vocab_size", output_vocab)
     w.add_u32("dia.decoder.audio_vocab_size", audio_vocab)
     w.add_u32("dia.decoder.max_generation_size", max_generation)
+    if delay_pattern is not None:
+        # our extension: the per-channel delay pattern (the reference
+        # hardcodes {0,8,...,15} for 9 heads, dia/model.h:83)
+        w.add_array("dia.decoder.delay_pattern", [int(x) for x in delay_pattern])
     if dac_tensors is not None:
         w.add_u32("dac.up_sampling_factor", dac_up_sampling_factor)
         for i, (s, p) in enumerate(zip(dac_strides, dac_paddings)):

@@ -21,6 +21,14 @@ class TTSRunner(abc.ABC):
         """Parity: tts_runner::list_voices (include/common.h:84)."""
         return []
 
+    def generate_stream(self, text: str, config: GenerationConfig | None = None,
+                        **kw):
+        """Streaming fallback: one chunk containing the whole waveform.
+        Models with incremental decode/vocode paths override this."""
+        resp = self.generate(text, config)
+        if resp.audio.size:
+            yield resp.audio
+
     def update_conditional_prompt(self, file_path: str, prompt: str) -> None:
         """Parity: parler update_conditional_prompt (common.h:97)."""
         raise NotImplementedError(f"{self.arch} does not support conditional prompts")

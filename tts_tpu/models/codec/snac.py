@@ -167,6 +167,18 @@ def load_snac_weights(r: GGUFReader, cfg: SNACConfig,
     )
 
 
+def make_noise_layers(cfg: SNACConfig, seed, t_max: int) -> list:
+    """Per-layer noise arrays laid out by ABSOLUTE frame position: layer l
+    holds noise_steps[l] values per fine frame, for t_max frames. Streaming
+    decodes slice these by frame offset so a streamed segment sees exactly
+    the noise a full decode would (the reference fills one flat host buffer
+    per run, snac_model.cpp:178 — position-stable layout is our streaming
+    extension)."""
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal(ns * t_max).astype(np.float32)
+            for ns in cfg.noise_steps]
+
+
 class SNACRunner:
     """Parity: snac_runner::run (snac_model.cpp:181-209)."""
 
@@ -176,8 +188,14 @@ class SNACRunner:
         self.weights = weights
         self.buckets = buckets
 
-    def decode(self, heads: list, seed=None) -> np.ndarray:
-        """heads = [coarse (T/4), mid (T/2), fine (T)] token id lists."""
+    def decode(self, heads: list, seed=None, *, noise_layers=None,
+               frame_offset: int = 0) -> np.ndarray:
+        """heads = [coarse (T/4), mid (T/2), fine (T)] token id lists.
+
+        noise_layers/frame_offset: optional position-stable noise (see
+        make_noise_layers) — segment decodes at `frame_offset` reuse the
+        same per-frame noise as a full decode from frame 0.
+        """
         cfg = self.cfg
         t = len(heads[2])
         tb = next((b for b in self.buckets if t <= b), t)
@@ -187,8 +205,19 @@ class SNACRunner:
         fine = np.zeros(tb, np.int32); fine[:t] = heads[2]
         mid = np.zeros(tb // 2, np.int32); mid[: len(heads[1])] = heads[1]
         coarse = np.zeros(tb // 4, np.int32); coarse[: len(heads[0])] = heads[0]
-        rng = np.random.default_rng(seed)
-        noise = rng.standard_normal(sum(cfg.noise_steps) * tb).astype(np.float32)
+        if noise_layers is not None:
+            parts = []
+            for ns, full in zip(cfg.noise_steps, noise_layers):
+                seg = full[ns * frame_offset: ns * (frame_offset + tb)]
+                if seg.shape[0] < ns * tb:
+                    seg = np.concatenate(
+                        [seg, np.zeros(ns * tb - seg.shape[0], np.float32)])
+                parts.append(seg)
+            noise = np.concatenate(parts)
+        else:
+            rng = np.random.default_rng(seed)
+            noise = rng.standard_normal(
+                sum(cfg.noise_steps) * tb).astype(np.float32)
         wav = snac_decode(cfg, self.weights, jnp.asarray(fine),
                           jnp.asarray(mid), jnp.asarray(coarse),
                           jnp.asarray(noise), jnp.int32(t))

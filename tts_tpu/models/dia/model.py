@@ -91,6 +91,15 @@ class DiaConfig:
         c.output_vocab_size = int(g("dia.decoder.output_vocab_size", c.output_vocab_size))
         c.audio_vocab_size = int(g("dia.decoder.audio_vocab_size", c.audio_vocab_size))
         c.max_generation_size = int(g("dia.decoder.max_generation_size", c.max_generation_size))
+        dp = g("dia.decoder.delay_pattern")
+        if dp is not None:
+            c.delay_pattern = tuple(int(x) for x in dp)
+        elif c.n_output_heads != len(c.delay_pattern):
+            # non-default head count without an explicit pattern: spread
+            # delays 0..max_delay (channel 0 always undelayed)
+            n = c.n_output_heads
+            c.delay_pattern = (0,) + tuple(
+                c.max_delay - (n - 1 - i) for i in range(1, n))
         return c
 
 
@@ -536,3 +545,47 @@ class DiaRunner(TTSRunner):
             return TTSResponse(np.zeros(0, np.float32), SAMPLE_RATE_DAC)
         audio = self.dac.decode(codes)
         return TTSResponse(np.asarray(audio, np.float32), SAMPLE_RATE_DAC)
+
+    def generate_stream(self, text: str, config: GenerationConfig | None = None,
+                        chunk: int = 64, margin: int = 16):
+        """Streaming generation: encoder + CFG decode in host chunks, DAC
+        vocoded incrementally with `margin` frames of conv context on each
+        side of the emitted span (same scheme as Parler — exact away from
+        chunk seams, since delay-undone frames are append-only). TTFA path."""
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        ids = tokenize_sentence(text, cfg)
+        tokens = np.zeros((2, cfg.max_encoder_context_length), np.int32)
+        tokens[0, : len(ids)] = ids
+        _, ck, cv = dia_encode(cfg, self.weights, jnp.asarray(tokens),
+                               jnp.int32(len(ids)))
+        max_steps = cfg.max_generation_size
+        if config.max_tokens and config.max_tokens > cfg.max_delay:
+            max_steps = config.max_tokens
+        seed = config.seed if config.seed is not None else np.random.randint(2 ** 31)
+        st = _dia_init_state(cfg, jax.random.PRNGKey(seed), max_steps)
+        gen_kw = dict(do_sample=config.sample,
+                      temperature=float(config.temperature),
+                      top_k=int(config.top_k), top_p=float(config.top_p),
+                      repetition_penalty=float(config.repetition_penalty))
+        emitted = 0
+        up = self.dac.cfg.up_sampling_factor if self.dac is not None else 0
+        n = 0
+        while True:
+            st = dia_decode_chunk(cfg, self.weights, ck, cv, st,
+                                  n_steps=chunk, max_steps=max_steps, **gen_kw)
+            n += chunk
+            done = bool(np.asarray(st.done)) or \
+                n >= max_steps + cfg.max_delay + chunk
+            codes = adjust_output_tokens(np.asarray(st.out_tokens),
+                                         int(st.pos), cfg)
+            ready = codes.shape[0] if done else max(0, codes.shape[0] - margin)
+            if self.dac is not None and ready > emitted:
+                lo = max(0, emitted - margin)
+                hi = min(codes.shape[0], ready + (0 if done else margin))
+                seg = self.dac.decode(codes[lo:hi])
+                yield np.asarray(
+                    seg[(emitted - lo) * up: (ready - lo) * up], np.float32)
+                emitted = ready
+            if done:
+                break

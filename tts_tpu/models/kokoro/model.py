@@ -887,6 +887,19 @@ class KokoroRunner(TTSRunner):
 
     def generate(self, prompt: str, config: GenerationConfig | None = None) -> TTSResponse:
         """Parity: kokoro_runner::generate (model.cpp:1409-1460)."""
+        parts = list(self._stream_parts(prompt, config))
+        wav = np.concatenate(parts) if parts else np.zeros(0, np.float32)
+        return TTSResponse(wav.astype(np.float32), SAMPLE_RATE_KOKORO)
+
+    def generate_stream(self, prompt: str, config: GenerationConfig | None = None):
+        """Streaming generation: yields one waveform per <=512-token text
+        chunk as it is synthesized (Kokoro is feed-forward, so the natural
+        streaming unit is the reference's clause chunk, model.cpp:1436-1449).
+        TTFA path."""
+        for part in self._stream_parts(prompt, config):
+            yield part.astype(np.float32)
+
+    def _stream_parts(self, prompt: str, config: GenerationConfig | None = None):
         config = config or GenerationConfig()
         cfg = self.cfg
         voice = config.voice or "af_heart"
@@ -916,10 +929,10 @@ class KokoroRunner(TTSRunner):
                 stripped = stripped.replace(ch, "")
             stripped = stripped.strip()
             if not stripped:
-                return TTSResponse(np.zeros(0, np.float32), SAMPLE_RATE_KOKORO)
+                return
             tokens = [cfg.bos_token_id] + self.tokenizer.tokenize(stripped) + \
                 [cfg.eos_token_id]
-            wav = self.run_tokens(tokens, voice, seed=config.seed)
+            yield self.run_tokens(tokens, voice, seed=config.seed)
         else:
             clauses = []
             cur = ""
@@ -930,8 +943,5 @@ class KokoroRunner(TTSRunner):
                     cur = ""
             if cur:
                 clauses.append(cur)
-            parts = []
             for chunk in self.tokenize_chunks(clauses):
-                parts.append(self.run_tokens(chunk, voice, seed=config.seed))
-            wav = np.concatenate(parts) if parts else np.zeros(0, np.float32)
-        return TTSResponse(wav.astype(np.float32), SAMPLE_RATE_KOKORO)
+                yield self.run_tokens(chunk, voice, seed=config.seed)

@@ -373,5 +373,91 @@ class OrpheusRunner(TTSRunner):
         cb = self.snac.weights.quantizers[0].codebook.shape[0]
         heads = [np.clip(np.asarray(h, np.int64), 0, cb - 1).tolist()
                  for h in heads]
-        wav = self.snac.decode(heads, seed=config.seed)
+        from ..codec.snac import make_noise_layers
+        noise_layers = make_noise_layers(
+            self.snac.cfg, seed, 4 * (cfg.max_generation_size // 7 + 1))
+        wav = self.snac.decode(heads, noise_layers=noise_layers)
         return TTSResponse(np.asarray(wav, np.float32), SAMPLE_RATE_SNAC)
+
+    def generate_stream(self, text: str, config: GenerationConfig | None = None,
+                        chunk: int = 56, margin: int = 16):
+        """Streaming generation: yields float32 waveform chunks as llama
+        decode chunks complete, vocoding incrementally through SNAC with
+        `margin` fine frames of conv context on each side of the emitted
+        span. Position-stable noise (make_noise_layers) makes the stream
+        match a full decode away from chunk seams. Time-to-first-audio path
+        (BASELINE north star: p50 TTFA)."""
+        from ..codec.snac import make_noise_layers
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        if config.voice and config.voice not in ORPHEUS_VOICES:
+            raise ValueError(f"Voice '{config.voice}' is not a valid Orpheus voice")
+        ids = self._prompt_ids(text, config.voice)
+        if len(ids) > cfg.max_context_length:
+            raise ValueError("prompt too large for the context window")
+        p = next((b for b in self.prompt_buckets if len(ids) <= b),
+                 cfg.max_context_length)
+        toks = np.zeros(p, np.int32)
+        toks[: len(ids)] = ids
+        ctx = cfg.max_context_length + cfg.max_generation_size
+        shape = (cfg.n_layers, cfg.n_kv_heads, ctx, cfg.head_size)
+        from ...common import kv_cache_dtype
+        dt = kv_cache_dtype()
+        kv_k = jnp.zeros(shape, dt); kv_v = jnp.zeros(shape, dt)
+        logits, kv_k, kv_v = orpheus_prefill(cfg, self.weights,
+                                             jnp.asarray(toks),
+                                             jnp.int32(len(ids)), kv_k, kv_v)
+        seed = config.seed if config.seed is not None else np.random.randint(2 ** 31)
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        gen_kw = dict(do_sample=config.sample,
+                      temperature=float(config.temperature),
+                      top_k=int(config.top_k), top_p=float(config.top_p),
+                      repetition_penalty=float(config.repetition_penalty))
+        first, _ = sampling.sample_or_greedy(
+            sub, logits[None, :], sampling.init_state(1), **gen_kw)
+        max_steps = cfg.max_generation_size
+        st = OrpheusState(
+            kv_k=kv_k, kv_v=kv_v, pos=jnp.int32(len(ids)),
+            token_in=jnp.asarray(first[0], jnp.int32), n_out=jnp.int32(1),
+            done=jnp.asarray(first[0] == cfg.stopping_token_id).reshape(()),
+            out_tokens=jnp.zeros((max_steps,), jnp.int32).at[0].set(first[0]),
+            sampler_state=sampling.init_state(1), key=key)
+        t_max = 4 * (max_steps // 7 + 1)
+        noise_layers = None
+        cb = 0
+        if self.snac is not None:
+            noise_layers = make_noise_layers(self.snac.cfg, seed, t_max)
+            cb = self.snac.weights.quantizers[0].codebook.shape[0]
+        emitted = 0          # fine frames already yielded
+        up = self.snac.cfg.up_sampling_factor if self.snac is not None else 0
+        n = 1
+        while True:
+            st = orpheus_decode_chunk(cfg, self.weights, st, n_steps=chunk,
+                                      max_steps=max_steps, **gen_kw)
+            n += chunk
+            done = bool(np.asarray(st.done)) or n >= max_steps + chunk
+            n_out = min(int(st.n_out), max_steps)
+            heads = prepare_output_tokens(np.asarray(st.out_tokens), n_out)
+            t = len(heads[2])
+            ready = t if done else max(0, t - margin)
+            ready -= ready % 4
+            if self.snac is not None and ready > emitted:
+                lo = max(0, emitted - margin); lo -= lo % 4
+                hi = t if done else min(t, ready + margin)
+                hi -= hi % 4
+                seg_heads = [
+                    np.clip(np.asarray(heads[0][lo // 4: hi // 4], np.int64),
+                            0, cb - 1).tolist(),
+                    np.clip(np.asarray(heads[1][lo // 2: hi // 2], np.int64),
+                            0, cb - 1).tolist(),
+                    np.clip(np.asarray(heads[2][lo: hi], np.int64),
+                            0, cb - 1).tolist(),
+                ]
+                seg = self.snac.decode(seg_heads, noise_layers=noise_layers,
+                                       frame_offset=lo)
+                yield np.asarray(
+                    seg[(emitted - lo) * up: (ready - lo) * up], np.float32)
+                emitted = ready
+            if done:
+                break
