@@ -195,6 +195,38 @@ void tts_quantize_q4_0(const float* x, int64_t rows, int64_t cols,
     });
 }
 
+void tts_quantize_q5_0(const float* x, int64_t rows, int64_t cols,
+                       uint8_t* out, int n_threads) {
+    const int64_t nb = cols / QK;
+    parallel_rows(rows, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t r = lo; r < hi; r++) {
+            const float* px = x + r * cols;
+            uint8_t* p = out + r * nb * 22;
+            for (int64_t b = 0; b < nb; b++) {
+                const float* v = px + b * QK;
+                float amax = 0.0f, m = 0.0f;
+                for (int j = 0; j < QK; j++) {
+                    if (std::fabs(v[j]) > amax) { amax = std::fabs(v[j]); m = v[j]; }
+                }
+                float d = m / -16.0f;
+                float inv = d != 0.0f ? 1.0f / d : 0.0f;
+                uint16_t d16 = fp32_to_fp16(d);
+                std::memcpy(p, &d16, 2);
+                uint32_t qh = 0;
+                for (int j = 0; j < 16; j++) {
+                    uint8_t q0 = (uint8_t)std::min(31.0f, std::max(0.0f, v[j] * inv + 16.5f));
+                    uint8_t q1 = (uint8_t)std::min(31.0f, std::max(0.0f, v[j + 16] * inv + 16.5f));
+                    p[6 + j] = (uint8_t)((q0 & 0x0F) | ((q1 & 0x0F) << 4));
+                    qh |= (uint32_t)(q0 >> 4) << j;
+                    qh |= (uint32_t)(q1 >> 4) << (j + 16);
+                }
+                std::memcpy(p + 2, &qh, 4);
+                p += 22;
+            }
+        }
+    });
+}
+
 void tts_quantize_q8_0(const float* x, int64_t rows, int64_t cols,
                        uint8_t* out, int n_threads) {
     const int64_t nb = cols / QK;

@@ -23,7 +23,8 @@ def test_native_unpack_matches_numpy(rng, qtype):
 
 
 @requires_native
-@pytest.mark.parametrize("qtype", [quants.GGML_TYPE_Q4_0, quants.GGML_TYPE_Q8_0])
+@pytest.mark.parametrize("qtype", [quants.GGML_TYPE_Q4_0, quants.GGML_TYPE_Q5_0,
+                                   quants.GGML_TYPE_Q8_0])
 def test_native_quantize_matches_numpy(rng, qtype):
     x = rng.standard_normal((16, 64)).astype(np.float32) * 2
     a = np.asarray(quants.quantize(x, qtype))

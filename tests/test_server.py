@@ -113,6 +113,35 @@ def test_404(dummy_server):
     assert json.loads(body)["error"]["type"] == "not_found_error"
 
 
+def test_stream_sample_rate_header():
+    """PCM streaming must advertise the MODEL's sample rate, not 44.1 kHz —
+    a 24 kHz model (Kokoro/Orpheus) streamed as rate=44100 plays 1.84x fast."""
+    srv = TTSServer({"dummy": "test:dummy"}, "dummy", GenerationConfig(),
+                    n_parallel=1, timeout=60)
+    httpd = serve(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        for _ in range(100):
+            if srv.state == "READY":
+                break
+            time.sleep(0.05)
+        srv.runners["dummy"].sample_rate = 24_000  # emulate a Kokoro-rate model
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/audio/speech",
+            data=json.dumps({"input": "ab", "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            mime = r.headers.get("Content-Type", "")
+            body = r.read()
+        assert "rate=24000" in mime, mime
+        # chunked PCM actually decodes to the dummy's 2s of 16-bit audio
+        assert len(body) == 2 * 44_100 * 2  # dummy emits 1 s per char @44.1k
+    finally:
+        httpd.shutdown()
+
+
 def test_concurrent_requests(dummy_server):
     results = []
 

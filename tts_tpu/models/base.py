@@ -12,6 +12,10 @@ class TTSRunner(abc.ABC):
     """A loaded model that can synthesize speech from text."""
 
     arch: str = ""
+    #: output waveform sample rate in Hz — overridden per model family
+    #: (DAC archs 44.1 kHz, Kokoro/SNAC archs 24 kHz); used by the server's
+    #: PCM streaming header, which cannot wait for a TTSResponse.
+    sample_rate: int = 44_100
 
     @abc.abstractmethod
     def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:

@@ -158,9 +158,6 @@ class KokoroConfig:
         got = geom("kokoro.decoder.generator.res_blocks", c.n_res_blocks)
         if got:
             c.res_block_dilations, c.res_block_paddings = got
-        got = geom("kokoro.decoder.generator.noise_blocks", c.n_noise_blocks)
-        if got is None:
-            got = geom("kokoro.decoder.generator.noise_blocks", c.n_noise_blocks)
         nb = []
         nbp = []
         ok = True
@@ -796,6 +793,7 @@ def load_voices(r: GGUFReader) -> dict:
 
 class KokoroRunner(TTSRunner):
     arch = "kokoro"
+    sample_rate = SAMPLE_RATE_KOKORO
 
     def __init__(self, cfg: KokoroConfig, weights: KokoroWeights,
                  tokenizer: SinglePassTokenizer, voices: dict,

@@ -311,6 +311,7 @@ def load_orpheus_weights(r: GGUFReader, cfg: OrpheusConfig) -> OrpheusWeights:
 
 class OrpheusRunner(TTSRunner):
     arch = "orpheus"
+    sample_rate = SAMPLE_RATE_SNAC
 
     def __init__(self, cfg: OrpheusConfig, weights: OrpheusWeights,
                  tokenizer: BPETokenizer, snac_runner=None,

@@ -48,7 +48,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 fn = getattr(lib, name)
                 fn.argtypes = [u8p, i64, i64, i8p, f32p, i32]
                 fn.restype = None
-            for name in ("tts_quantize_q4_0", "tts_quantize_q8_0"):
+            for name in ("tts_quantize_q4_0", "tts_quantize_q5_0",
+                         "tts_quantize_q8_0"):
                 fn = getattr(lib, name)
                 fn.argtypes = [f32p, i64, i64, u8p, i32]
                 fn.restype = None
@@ -99,11 +100,14 @@ def quantize(x: np.ndarray, qtype: int) -> np.ndarray:
     rows = int(np.prod(x2.shape[:-1])) if x2.ndim > 1 else 1
     cols = int(x2.shape[-1])
     if lib is None or cols % 32 or \
-            qtype not in (quants.GGML_TYPE_Q4_0, quants.GGML_TYPE_Q8_0):
+            qtype not in (quants.GGML_TYPE_Q4_0, quants.GGML_TYPE_Q5_0,
+                          quants.GGML_TYPE_Q8_0):
         return quants.quantize(x2, qtype)
-    bb = {quants.GGML_TYPE_Q4_0: 18, quants.GGML_TYPE_Q8_0: 34}[qtype]
+    bb = {quants.GGML_TYPE_Q4_0: 18, quants.GGML_TYPE_Q5_0: 22,
+          quants.GGML_TYPE_Q8_0: 34}[qtype]
     out = np.empty(rows * (cols // 32) * bb, np.uint8)
     fn = {quants.GGML_TYPE_Q4_0: lib.tts_quantize_q4_0,
+          quants.GGML_TYPE_Q5_0: lib.tts_quantize_q5_0,
           quants.GGML_TYPE_Q8_0: lib.tts_quantize_q8_0}[qtype]
     fn(x2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), rows, cols,
        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _nthreads())

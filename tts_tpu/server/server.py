@@ -35,6 +35,7 @@ import numpy as np
 from ..audio.wav import encode_aiff, encode_wav
 from ..common import GenerationConfig
 from ..models.registry import runner_from_file
+from ..ops import sampling
 
 MIMETYPE_JSON = "application/json; charset=utf-8"
 MIMETYPE_WAV = "audio/wav"
@@ -307,12 +308,15 @@ class _Handler(BaseHTTPRequestHandler):
     server_obj: TTSServer = None  # injected
 
     # -- helpers -------------------------------------------------------------
-    def _send(self, code: int, body: bytes, mime: str) -> None:
+    def _send(self, code: int, body: bytes, mime: str,
+              extra_headers: dict | None = None) -> None:
         self.send_response(code)
         self.send_header("Content-Type", mime)
         self.send_header("Content-Length", str(len(body)))
         self.send_header("Access-Control-Allow-Origin",
                          self.headers.get("Origin", "*"))
+        for k, v in (extra_headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -418,12 +422,19 @@ class _Handler(BaseHTTPRequestHandler):
         if task.audio is None or len(task.audio) == 0:
             self._error("Model returned an empty response.", 500)
             return
+        # Surface the batched sampler's static top-k cap: requests routed
+        # through the continuous-batching engine are truncated to the top
+        # BATCHED_TOP_K_CAP tokens (ops/sampling.py) — tell the client.
+        extra = None
+        if (srv.batched_workers.get(model) is not None and conf.sample
+                and (conf.top_k == 0 or conf.top_k > sampling.BATCHED_TOP_K_CAP)):
+            extra = {"X-TTS-Top-K-Applied": str(sampling.BATCHED_TOP_K_CAP)}
         if fmt == "aiff":
             body = encode_aiff(task.audio, task.sample_rate)
-            self._send(200, body, MIMETYPE_AIFF)
+            self._send(200, body, MIMETYPE_AIFF, extra)
         else:
             body = encode_wav(task.audio, task.sample_rate)
-            self._send(200, body, MIMETYPE_WAV)
+            self._send(200, body, MIMETYPE_WAV, extra)
 
     def _handle_tts_stream(self, prompt: str, conf, model: str) -> None:
         """Chunked-transfer streaming of raw 16-bit PCM (time-to-first-audio
@@ -436,8 +447,11 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 resp = runner.generate(prompt, conf)
                 gen = iter([resp.audio])
+            rate = int(getattr(runner, "sample_rate", 44_100))
             self.send_response(200)
-            self.send_header("Content-Type", "audio/pcm;rate=44100;encoding=signed-integer;bits=16")
+            self.send_header(
+                "Content-Type",
+                f"audio/pcm;rate={rate};encoding=signed-integer;bits=16")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
             for chunk in gen:
