@@ -302,10 +302,12 @@ def main() -> None:
     for slot in range(B):
         bst = insert_request(cfg, bst, slot, kv_k, kv_v, prompt_len,
                              True, 1.0, 50, 1.0, 1.0)
-    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64)  # compile+warm
+    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64, mega=mega,
+                               mega_qtype=mega_qtype)  # compile+warm
     int(np.asarray(bst.out_tokens).sum())
     t0 = time.perf_counter()
-    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64)
+    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64, mega=mega,
+                               mega_qtype=mega_qtype)
     int(np.asarray(bst.out_tokens).sum())
     bwall = time.perf_counter() - t0
     batched_rtf = B * 64 * SAMPLES_PER_STEP / SAMPLE_RATE / bwall

@@ -352,6 +352,296 @@ def _parler_megastep_tpu(mega: MegaLayers, x, kv_k, kv_v, pos, *, qtype: int,
 
 
 # ---------------------------------------------------------------------------
+# batched megastep: B slots per step, ONE weight read serves all of them
+# ---------------------------------------------------------------------------
+#
+# The single-stream kernel broadcasts one activation row across the 8 f32
+# sublanes; the batched variant puts 8 *distinct* batch slots there instead,
+# so the weight stream (the dominant HBM cost) is amortized B ways. Per-slot
+# KV caches are read page-by-page (grid = (L, n_pages)) with a flash-style
+# running max/denominator, and the block index map is clamped at the max
+# position across slots so tail pages cost no DMA (same trick as
+# ops/decode_attention.py). Replaces the reference's replica-per-thread
+# serving model (examples/server/server.cpp:885-897) with one program.
+
+
+def _quant_rows(h):
+    """(B, K) f32 -> (xq int-valued f32, sx (B, 1)) per-row absmax quant."""
+    amax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-12) / 127.0
+    return jnp.round(h / sx), sx
+
+
+def _qdot_rows(xq, sx, codes, scales, bias, *, kc=512):
+    """Batched block-scaled int8 dot: xq (B, K) x codes (K, N) -> (B, N).
+
+    K is processed in chunks of `kc`: each chunk embeds the B rows block-
+    diagonally as (B*kc/32, kc) and does one int8 MXU matmul. Chunking keeps
+    the block-diagonal zero-padding waste at kc/32 x dense (vs K/32 x for the
+    unchunked embed) — 8x fewer MXU MACs at K=4096.
+    """
+    b, k = xq.shape
+    kc = min(kc, k)
+    n = codes.shape[1]
+    nb = kc // QK
+    rows = b * nb
+    out = jnp.zeros((b, n), jnp.float32)
+    for c0 in range(0, k, kc):
+        xc = xq[:, c0:c0 + kc]
+        xb = jnp.broadcast_to(xc[:, None, :], (b, nb, kc)).reshape(rows, kc)
+        blk = jax.lax.broadcasted_iota(jnp.int32, (rows, kc), 0) % nb
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows, kc), 1)
+        xd = jnp.where(cols // QK == blk, xb, 0.0).astype(jnp.int32) \
+            .astype(jnp.int8)
+        p = jax.lax.dot_general(
+            xd, codes[c0:c0 + kc, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)  # (rows, N)
+        if bias:
+            ones = jnp.ones((kc, 1), jnp.int8)
+            sxs = jax.lax.dot_general(
+                xd, ones, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            p = p - bias * sxs
+        p3 = p.reshape(b, nb, n) * scales[c0 // QK:(c0 + kc) // QK][None]
+        out = out + jnp.sum(p3, axis=1)
+    return out * sx
+
+
+def _megastep_batched_kernel(mp_ref, pos_ref, x_ref, qkv_c, qkv_s, occ_c,
+                             occ_s, f1_c, f1_s, f2_c, f2_s, norms, ck_ref,
+                             cv_ref, kc_ref, vc_ref,
+                             x_out, k_out, v_out,
+                             x_scr, q_scr, k_scr, v_scr, att_scr,
+                             acc_scr, m_scr, l_scr,
+                             *, n_layers, n_heads, hidden, b, page, n_pages,
+                             bias, use_cross):
+    l = pl.program_id(0)
+    p = pl.program_id(1)
+    d = hidden // n_heads
+    scale = 1.0 / np.sqrt(d)
+    rows = b * n_heads
+
+    @pl.when((l == 0) & (p == 0))
+    def _():
+        x_scr[:] = x_ref[:]
+
+    @pl.when(p == 0)
+    def _():
+        nm = norms[0]
+        x = x_scr[:]                                       # (B, H)
+        h1 = _ln(x, nm[0:1], nm[1:2])
+        xq, sx = _quant_rows(h1)
+        qkv = _qdot_rows(xq, sx, qkv_c[0], qkv_s[0], bias)  # (B, 3H)
+        k_out[0] = qkv[:, hidden:2 * hidden]
+        v_out[0] = qkv[:, 2 * hidden:]
+        for h in range(n_heads):
+            q_scr[:, h, :] = qkv[:, h * d:(h + 1) * d]
+            k_scr[:, h, :] = qkv[:, hidden + h * d:hidden + (h + 1) * d]
+            v_scr[:, h, :] = qkv[:, 2 * hidden + h * d:
+                                 2 * hidden + (h + 1) * d]
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        # finite sentinel, NOT -inf: a page can be fully masked for a short
+        # slot while a longer slot keeps the grid going; -inf would give
+        # exp(-inf - -inf) = NaN. With -1e30 a fully-masked page contributes
+        # bounded garbage to acc/l that the finalize alpha = exp(-1e30 - s_cur)
+        # = 0 annihilates (the current token's score is always finite).
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    @pl.when(p <= mp_ref[0])
+    def _():
+        # flash accumulation over this KV page, all slots+heads vectorized
+        q3 = q_scr[:].reshape(rows, d) * scale             # (B*nh, D)
+        k3 = kc_ref[:].astype(jnp.float32).reshape(rows, page, d)
+        v3 = vc_ref[:].astype(jnp.float32).reshape(rows, page, d)
+        s = jnp.sum(q3[:, None, :] * k3, axis=2)           # (B*nh, PAGE)
+        j = p * page + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(j < pos_ref[:], s, -1e30)
+        m_prev = m_scr[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_new)
+        pexp = jnp.exp(s - m_new[:, None])
+        l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(pexp, axis=1)
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + \
+            jnp.sum(pexp[:, :, None] * v3, axis=1)
+        m_scr[:, 0] = m_new
+
+    @pl.when(p == n_pages - 1)
+    def _():
+        nm = norms[0]
+        # fold the current token's K/V analytically (not in the cache yet)
+        q3 = q_scr[:].reshape(rows, d) * scale
+        kcur = k_scr[:].reshape(rows, d)
+        vcur = v_scr[:].reshape(rows, d)
+        s_cur = jnp.sum(q3 * kcur, axis=1, keepdims=True)  # (B*nh, 1)
+        m_f = jnp.maximum(m_scr[:], s_cur)
+        alpha = jnp.exp(m_scr[:] - m_f)
+        pc = jnp.exp(s_cur - m_f)
+        denom = l_scr[:] * alpha + pc
+        att = (acc_scr[:] * alpha + pc * vcur) / denom     # (B*nh, D)
+        att4 = att.reshape(b, n_heads, d)
+        for h in range(n_heads):
+            att_scr[:, h * d:(h + 1) * d] = att4[:, h, :]
+        aq, asx = _quant_rows(att_scr[:])
+        o = _qdot_rows(aq, asx, occ_c[0][:, :hidden],
+                       occ_s[0][:, :hidden], bias)
+        x = x_scr[:] + o
+        if use_cross:
+            h2 = _ln(x, nm[2:3], nm[3:4])
+            cqq, cqs = _quant_rows(h2)
+            cq = _qdot_rows(cqq, cqs, occ_c[0][:, hidden:2 * hidden],
+                            occ_s[0][:, hidden:2 * hidden], bias)
+            ca = _attend_cross(cq, ck_ref[0], cv_ref[0], n_heads, d, scale)
+            caq, cas = _quant_rows(ca)
+            co = _qdot_rows(caq, cas, occ_c[0][:, 2 * hidden:],
+                            occ_s[0][:, 2 * hidden:], bias)
+            x = x + co
+        h3 = _ln(x, nm[4:5], nm[5:6])
+        mq, msx = _quant_rows(h3)
+        up = _qdot_rows(mq, msx, f1_c[0], f1_s[0], bias)   # (B, F)
+        up = jax.nn.gelu(up, approximate=True)
+        uq, usx = _quant_rows(up)
+        down = _qdot_rows(uq, usx, f2_c[0], f2_s[0], bias)
+        x = x + down
+        x_scr[:] = x
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            x_out[:] = x
+
+
+def parler_megastep_batched(mega: MegaLayers, x, kv_k, kv_v, pos, *,
+                            qtype: int, use_cross: bool, n_heads: int,
+                            page: int = 256):
+    """Batched megastep: x (B, H) f32 — one row per batch slot; kv_k/kv_v
+    (L, B, heads, CTX, D); pos (B,) int32 per-slot cache rows.
+
+    Returns (x_out (B, H) pre-final-norm, k_new (L, B, H), v_new (L, B, H));
+    the caller writes k/v rows at each slot's `pos` and applies final norm +
+    LM heads. TPU requires B % 8 == 0 (f32 sublane tile) and CTX % page == 0;
+    otherwise (and on CPU/tests) dispatches to the vmapped XLA reference with
+    identical math.
+    """
+    b = x.shape[0]
+    ctx = kv_k.shape[3]
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu or b % 8 or ctx % page:
+        return parler_megastep_batched_reference(
+            mega, x, kv_k, kv_v, pos, qtype=qtype, use_cross=use_cross,
+            n_heads=n_heads)
+    return _parler_megastep_batched_tpu(
+        mega, x, kv_k, kv_v, pos, qtype=qtype, use_cross=use_cross,
+        n_heads=n_heads, page=page)
+
+
+@functools.partial(jax.jit, static_argnames=("qtype", "use_cross", "n_heads",
+                                             "page"))
+def _parler_megastep_batched_tpu(mega: MegaLayers, x, kv_k, kv_v, pos, *,
+                                 qtype: int, use_cross: bool, n_heads: int,
+                                 page: int):
+    L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
+    f = mega.fc1_codes.shape[2]
+    b, heads, ctx, d = kv_k.shape[1], kv_k.shape[2], kv_k.shape[3], \
+        kv_k.shape[4]
+    tc = mega.cross_k.shape[2]
+    n_pages = ctx // page
+    pos = jnp.asarray(pos, jnp.int32)
+    # clamp page index at the max needed page across slots: later pages map
+    # to the same block index and Mosaic skips the DMA
+    mp = jnp.max(jnp.maximum(pos - 1, 0)) // page
+    mp_arr = mp.reshape(1)
+    pos_rows = jnp.repeat(pos, heads)[:, None]             # (B*nh, 1)
+    kv_k4 = kv_k.reshape(L * b, heads, ctx, d)
+    kv_v4 = kv_v.reshape(L * b, heads, ctx, d)
+
+    def at_l(i, p, mp):
+        return (i, 0, 0)
+
+    def at_l4(i, p, mp):
+        return (i, 0, 0, 0)
+
+    def kv_map(i, p, mp):
+        return (i, 0, jnp.minimum(p, mp[0]), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, n_pages),
+        in_specs=[
+            pl.BlockSpec((b * heads, 1), lambda i, p, mp: (0, 0)),
+            pl.BlockSpec((b, hidden), lambda i, p, mp: (0, 0)),
+            pl.BlockSpec((1, hidden, 3 * hidden), at_l),
+            pl.BlockSpec((1, hidden // QK, 3 * hidden), at_l),
+            pl.BlockSpec((1, hidden, 3 * hidden), at_l),
+            pl.BlockSpec((1, hidden // QK, 3 * hidden), at_l),
+            pl.BlockSpec((1, hidden, f), at_l),
+            pl.BlockSpec((1, hidden // QK, f), at_l),
+            pl.BlockSpec((1, f, hidden), at_l),
+            pl.BlockSpec((1, f // QK, hidden), at_l),
+            pl.BlockSpec((1, 6, hidden), at_l),
+            pl.BlockSpec((1, heads, tc, d), at_l4),
+            pl.BlockSpec((1, heads, tc, d), at_l4),
+            pl.BlockSpec((b, heads, page, d), kv_map),
+            pl.BlockSpec((b, heads, page, d), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, hidden), lambda i, p, mp: (0, 0)),
+            pl.BlockSpec((1, b, hidden), at_l),
+            pl.BlockSpec((1, b, hidden), at_l),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),          # x residual
+            pltpu.VMEM((b, heads, d), jnp.float32),        # q
+            pltpu.VMEM((b, heads, d), jnp.float32),        # k cur
+            pltpu.VMEM((b, heads, d), jnp.float32),        # v cur
+            pltpu.VMEM((b, hidden), jnp.float32),          # attn out
+            pltpu.VMEM((b * heads, d), jnp.float32),       # flash acc
+            pltpu.VMEM((b * heads, 1), jnp.float32),       # flash m
+            pltpu.VMEM((b * heads, 1), jnp.float32),       # flash l
+        ],
+    )
+    x_out, k_new, v_new = pl.pallas_call(
+        functools.partial(_megastep_batched_kernel, n_layers=L,
+                          n_heads=n_heads, hidden=hidden, b=b, page=page,
+                          n_pages=n_pages, bias=_BIAS[qtype],
+                          use_cross=use_cross),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((L, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((L, b, hidden), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(mp_arr, pos_rows, x.astype(jnp.float32), mega.qkv_codes,
+      mega.qkv_scales, mega.occ_codes, mega.occ_scales, mega.fc1_codes,
+      mega.fc1_scales, mega.fc2_codes, mega.fc2_scales, mega.norms,
+      mega.cross_k, mega.cross_v, kv_k4, kv_v4)
+    return x_out, k_new, v_new
+
+
+def parler_megastep_batched_reference(mega: MegaLayers, x, kv_k, kv_v, pos,
+                                      *, qtype: int, use_cross: bool,
+                                      n_heads: int):
+    """Vmapped single-slot reference — the batched kernel's math is exactly
+    the single kernel's applied independently per slot (per-row activation
+    quant), so this IS the spec."""
+    pos = jnp.asarray(pos, jnp.int32)
+
+    def one(xb, kb, vb, pb):
+        xo, kn, vn = parler_megastep_reference(
+            mega, xb[None, :], kb, vb, pb, qtype=qtype, use_cross=use_cross,
+            n_heads=n_heads)
+        return xo[0], kn, vn
+
+    return jax.vmap(one, in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1))(
+        x, kv_k, kv_v, pos)
+
+
+# ---------------------------------------------------------------------------
 # XLA reference (same math, no pallas) — used on CPU and in tests
 # ---------------------------------------------------------------------------
 

@@ -116,10 +116,12 @@ def _batched_layer(cfg: ParlerConfig, x, lw, kv_k, kv_v, pos, cont,
     return x, kv_k, kv_v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "use_cross"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "use_cross",
+                                             "mega_qtype"))
 def batched_decode_chunk(cfg: ParlerConfig, w: ParlerWeights,
                          st: BatchedParlerState, *, n_steps: int,
-                         use_cross: bool = True) -> BatchedParlerState:
+                         use_cross: bool = True, mega=None,
+                         mega_qtype=None) -> BatchedParlerState:
     nh = cfg.n_output_heads
 
     def step(st: BatchedParlerState, _):
@@ -128,15 +130,33 @@ def batched_decode_chunk(cfg: ParlerConfig, w: ParlerWeights,
             w.embds, trow))(st.tokens_in)                 # (B, nh, H)
         x = jnp.sum(embs, axis=1) + jnp.take(w.pos_embd, st.pos, axis=0)
 
-        def layer_body(carry, inp):
-            xc = carry
-            lw, kk, vv = inp
-            xo, kk, vv = _batched_layer(cfg, xc, lw, kk, vv, st.pos, cont,
-                                        use_cross)
-            return xo, (kk, vv)
+        if mega is not None:
+            from ..ops.parler_megastep import parler_megastep_batched
+            xo, kn, vn = parler_megastep_batched(
+                mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
+                use_cross=use_cross, n_heads=cfg.n_attn_heads)
+            L, hs, d = cfg.n_layers, cfg.n_attn_heads, cfg.head_size
 
-        x, (kv_k, kv_v) = jax.lax.scan(layer_body, x,
-                                       (w.layers, st.kv_k, st.kv_v))
+            def upd(kvb, kb, pb):
+                # kvb (L, nh, ctx, D) one slot; kb (L, nh, 1, D)
+                return jax.lax.dynamic_update_slice(
+                    kvb, kb.astype(kvb.dtype), (0, 0, pb, 0))
+
+            kv_k = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(
+                st.kv_k, kn.reshape(L, -1, hs, 1, d), st.pos)
+            kv_v = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(
+                st.kv_v, vn.reshape(L, -1, hs, 1, d), st.pos)
+            x = xo
+        else:
+            def layer_body(carry, inp):
+                xc = carry
+                lw, kk, vv = inp
+                xo, kk, vv = _batched_layer(cfg, xc, lw, kk, vv, st.pos, cont,
+                                            use_cross)
+                return xo, (kk, vv)
+
+            x, (kv_k, kv_v) = jax.lax.scan(layer_body, x,
+                                           (w.layers, st.kv_k, st.kv_v))
         x = _layer_norm(x, w.final_ln_w, w.final_ln_b)
         logits = matmul(x, w.heads).reshape(-1, nh, cfg.output_vocab_size)
         key, sub = jax.random.split(st.key)
@@ -211,7 +231,7 @@ class BatchedParlerEngine:
     """Slot-based continuous batching over one Parler model."""
 
     def __init__(self, cfg: ParlerConfig, weights: ParlerWeights, tokenizer,
-                 n_slots: int = 4, chunk: int = 32, seed: int = 0,
+                 n_slots: int = 8, chunk: int = 32, seed: int = 0,
                  prompt_buckets=(64, 128, 256, 512)):
         self.cfg = cfg
         self.weights = weights
@@ -219,6 +239,8 @@ class BatchedParlerEngine:
         self.n_slots = n_slots
         self.chunk = chunk
         self.prompt_buckets = prompt_buckets
+        from ..models.parler.model import maybe_prep_mega
+        self.mega, self.mega_qtype = maybe_prep_mega(cfg, weights)
         self.state = init_batched_state(cfg, n_slots, jax.random.PRNGKey(seed))
         self.slot_req: List[Optional[int]] = [None] * n_slots
         self.pending: List[tuple] = []
@@ -266,7 +288,9 @@ class BatchedParlerEngine:
         """Run one decode chunk; returns newly finished request ids."""
         self.state = batched_decode_chunk(self.cfg, self.weights, self.state,
                                           n_steps=self.chunk,
-                                          use_cross=self.cfg.use_cross_attn)
+                                          use_cross=self.cfg.use_cross_attn,
+                                          mega=self.mega,
+                                          mega_qtype=self.mega_qtype)
         done_mask = ~np.asarray(_not_done(self.cfg, self.state))
         finished = []
         for slot in range(self.n_slots):
