@@ -1,5 +1,6 @@
-"""TPU check: pallas megastep == XLA reference megastep, then perf at
-Parler-Mini scale."""
+"""TPU check: pallas megastep == XLA reference megastep (single-stream and
+batched, incl. per-slot positions straddling KV page boundaries), then perf
+at Parler-Mini scale."""
 from __future__ import annotations
 
 import os
@@ -15,6 +16,8 @@ import jax.numpy as jnp
 
 from bench import build_q4_parler
 from tts_tpu.ops.parler_megastep import (parler_megastep,
+                                         parler_megastep_batched,
+                                         parler_megastep_batched_reference,
                                          parler_megastep_reference,
                                          prep_mega_layers)
 
@@ -41,6 +44,80 @@ def check_small():
         an, bn = np.asarray(a), np.asarray(b)
         rel = np.abs(an - bn).max() / (np.abs(bn).max() + 1e-9)
         print(f"kernel vs ref {name}: rel {rel:.3e}", flush=True)
+
+
+def check_batched():
+    """Batched kernel vs vmapped reference with slots at positions that
+    straddle the KV page boundary (page=256 below): exercises the -1e30
+    masked-page sentinel, the mp page clamp, and pos=0 (empty history)."""
+    rng = np.random.default_rng(2)
+    cfg, w = build_q4_parler(rng, n_layers=2, hidden=256, heads=4, ffn=512,
+                             enc_len=64, max_ctx=1024)
+    mega, qtype = prep_mega_layers(w.layers)
+    L, H, nh, d = (cfg.n_layers, cfg.hidden_size, cfg.n_attn_heads,
+                   cfg.head_size)
+    B, ctx = 8, 1024
+    shape = (L, B, nh, ctx, d)
+    kv_k = (jnp.asarray(rng.standard_normal(shape).astype(np.float32)) * 0.3
+            ).astype(jnp.bfloat16)
+    kv_v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32)) * 0.3
+            ).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32)) * 0.5
+    pos = jnp.asarray([0, 3, 255, 256, 257, 511, 768, 1023], jnp.int32)
+    xo_k, kn_k, vn_k = parler_megastep_batched(
+        mega, x, kv_k, kv_v, pos, qtype=qtype, use_cross=True, n_heads=nh,
+        page=256)
+    xo_r, kn_r, vn_r = parler_megastep_batched_reference(
+        mega, x, kv_k, kv_v, pos, qtype=qtype, use_cross=True, n_heads=nh)
+    ok = True
+    for name, a, b in (("x", xo_k, xo_r), ("k", kn_k, kn_r),
+                       ("v", vn_k, vn_r)):
+        an, bn = np.asarray(a), np.asarray(b)
+        rel = np.abs(an - bn).max() / (np.abs(bn).max() + 1e-9)
+        print(f"batched kernel vs ref {name}: rel {rel:.3e}", flush=True)
+        ok &= rel < 2e-3
+    assert ok, "batched kernel diverges from reference"
+
+
+def perf_batched(b=8, ctx=1024, pos0=64):
+    rng = np.random.default_rng(3)
+    cfg, w = build_q4_parler(rng)          # 24L/1024H/16 heads/4096 ffn
+    mega, qtype = prep_mega_layers(w.layers)
+    L, H, nh, d = (cfg.n_layers, cfg.hidden_size, cfg.n_attn_heads,
+                   cfg.head_size)
+    kv_k = jnp.zeros((L, b, nh, ctx, d), jnp.bfloat16)
+    kv_v = jnp.zeros((L, b, nh, ctx, d), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((b, H)).astype(np.float32)) * 0.5
+    STEPS = 256
+
+    @jax.jit
+    def run(x, mega, kv_k, kv_v):
+        def step(carry, i):
+            xx, kk, vv = carry
+            pos = jnp.full((b,), pos0, jnp.int32) + i
+            xo, kn, vn = parler_megastep_batched(
+                mega, xx, kk, vv, pos, qtype=qtype, use_cross=True,
+                n_heads=nh)
+            kk = jax.lax.dynamic_update_slice(
+                kk, kn.reshape(L, b, nh, 1, d).astype(kk.dtype),
+                (0, 0, 0, pos0 + i, 0))
+            vv = jax.lax.dynamic_update_slice(
+                vv, vn.reshape(L, b, nh, 1, d).astype(vv.dtype),
+                (0, 0, 0, pos0 + i, 0))
+            return (xo, kk, vv), ()
+        (xx, _, _), _ = jax.lax.scan(step, (x, kv_k, kv_v),
+                                     jnp.arange(STEPS))
+        return xx
+
+    out = run(x, mega, kv_k, kv_v)
+    np.asarray(out).sum()
+    t0 = time.perf_counter()
+    out = run(x, mega, kv_k, kv_v)
+    np.asarray(out).sum()
+    dt = time.perf_counter() - t0
+    per = (dt - 0.033) / STEPS
+    print(f"batched megastep B={b}: {per*1e3:.3f} ms/step "
+          f"({b*0.01161/per:.1f}x aggregate RT)", flush=True)
 
 
 def perf_full():
@@ -89,4 +166,6 @@ def perf_full():
 if __name__ == "__main__":
     print("platform:", jax.devices()[0].platform, flush=True)
     check_small()
+    check_batched()
     perf_full()
+    perf_batched()

@@ -8,22 +8,23 @@ caps the stream at ~170 GB/s. This kernel instead:
   * runs the WHOLE layer stack in one pallas_call with grid=(L,), carrying
     the activation in VMEM scratch — DMA of layer l+1's weights overlaps
     layer l's compute, zero per-call overhead between layers;
-  * never dequantizes weights: it quantizes the activation row to int8
-    (per-row absmax scale — the TPU analog of GGML's Q8_0 activation quant
-    in ggml vec_dot_q4_0_q8_0), embeds it block-diagonally as (K/32, K) and
-    does ONE int8 MXU matmul per projection, producing per-32-block partial
-    dots; the f32 epilogue applies GGUF block scales on the (K/32, N)
-    partials — 32x less VPU work than per-element dequant;
-  * keeps the KV cache in bf16 and computes attention per head on the MXU
-    with the current token's K/V folded analytically into the softmax, so
-    the cache write stays outside (one tiny dynamic_update_slice in XLA).
+  * weights cross HBM quantized (1 byte codes + per-32 f32 scales) and are
+    dequantized to bf16 *in VMEM registers* per tile, then fed to ONE dense
+    (B, K) x (K, N) bf16 MXU matmul per projection. MXU cost scales with the
+    row count B (<= 128), not with K/32 like the earlier block-diagonal int8
+    embed, which executed (K/32)/B x the necessary MACs (the round-2
+    batched kernel's 6.4x-per-step regression);
+  * keeps the KV cache in bf16 and computes attention on the MXU with the
+    current token's K/V folded analytically into the softmax, so the cache
+    write stays outside (one tiny dynamic_update_slice in XLA).
 
 Reference parity: the math is the reference decode step
-(src/models/parler/model.cpp:520-614) with GGML-style integer dot products
-(ggml-quants vec_dot_q4_0_q8_0); activation quantization uses one absmax
-scale per row instead of per-32 (documented divergence; error is below the
-Q4 weight-quantization noise floor) and round-ties-to-even instead of
-roundf.
+(src/models/parler/model.cpp:520-614) with ggml block dequantization
+(ggml-quants dequantize_row_q4_0) done at bf16 instead of f32 (documented
+divergence: ~2^-9 relative weight rounding, far below the Q4 weight-
+quantization noise floor) and activations rounded to bf16 at the MXU input
+(8-bit mantissa — strictly more precise than the reference's Q8_0
+activation requantization in vec_dot_q4_0_q8_0).
 """
 from __future__ import annotations
 
@@ -115,41 +116,38 @@ def _ln(x, w, b, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
 
 
-def _quant_row(h):
-    """(8, K) f32 (rows identical) -> (xq (8, K) f32-int-valued, sx scalar)."""
-    amax = jnp.max(jnp.abs(h[0:1]))
-    sx = jnp.maximum(amax, 1e-12) / 127.0
-    xq = jnp.round(h / sx)
-    return xq, sx
+def _dqdot(x, codes, scales, bias, *, kc=2048, nc=1024):
+    """Dense block-dequant matmul: x (B, K) f32 x codes (K, N) i8 -> (B, N).
 
-
-def _block_diag(xq, k):
-    """Row 0 of xq (8, K) -> (K//32, K) int8 block-diagonal."""
-    b = k // QK
-    cols = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (b, k), 0)
-    xb = jnp.broadcast_to(xq[0:1], (b, k))
-    return jnp.where(cols // QK == rows, xb, 0.0).astype(jnp.int32).astype(jnp.int8)
-
-
-def _qdot(xd, sx, codes, scales, bias):
-    """Block-diag int8 activations (B, K) x int8 codes (K, N) -> (1, N) f32.
-
-    out = sx * sum_b scales[b, :] * (P[b, :] - bias * Sx[b]) with P the int8
-    MXU partial dots and Sx the per-block activation sums (also via MXU).
+    Per (kc, nc) tile: hop the int8 codes through i32 to f32 (Mosaic has no
+    direct i8->f32 cast), fold the ggml type bias, expand the per-32 block
+    scales along the sublane dim, round the dequantized tile to bf16, and
+    run one dense MXU matmul with f32 accumulation. Tiling bounds the f32
+    temporaries to ~kc*nc*4 bytes so the whole-projection dequant never
+    spills VMEM.
     """
-    k = xd.shape[1]
-    p = jax.lax.dot_general(
-        xd, codes, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32).astype(jnp.float32)     # (B, N)
-    if bias:
-        ones = jnp.ones((k, 1), jnp.int8)
-        sxs = jax.lax.dot_general(
-            xd, ones, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)  # (B, 1)
-        p = p - bias * sxs
-    contrib = p * scales                                           # (B, N)
-    return jnp.sum(contrib, axis=0, keepdims=True) * sx            # (1, N)
+    k, n = codes.shape
+    kc = min(kc, k)
+    nc = min(nc, n)
+    outs = []
+    for n0 in range(0, n, nc):
+        acc = None
+        for k0 in range(0, k, kc):
+            c = codes[k0:k0 + kc, n0:n0 + nc]
+            s = scales[k0 // QK:(k0 + kc) // QK, n0:n0 + nc]
+            cf = c.astype(jnp.int32).astype(jnp.float32)
+            if bias:
+                cf = cf - bias
+            srep = jax.lax.broadcast_in_dim(
+                s, (kc // QK, QK, nc), (0, 2)).reshape(kc, nc)
+            wf = (cf * srep).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                x[:, k0:k0 + kc].astype(jnp.bfloat16), wf,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _attend_cached(q_row, kc, vc, k_row, v_row, pos, n_heads, d, scale):
@@ -220,47 +218,33 @@ def _megastep_kernel(pos_ref, x_ref, qkv_c, qkv_s, occ_c, occ_s,
 
     # --- self attention ---
     h1 = _ln(x, nm[0:1], nm[1:2])
-    xq, sx = _quant_row(h1)
-    xd = _block_diag(xq, hidden)
-    qkv = _qdot(xd, sx, qkv_c[0], qkv_s[0], bias)                 # (1, 3H)
-    qkv8 = jnp.broadcast_to(qkv, (8, 3 * hidden))
-    q_row = qkv8[:, :hidden]
-    k_row = qkv8[:, hidden:2 * hidden]
-    v_row = qkv8[:, 2 * hidden:]
+    qkv = _dqdot(h1, qkv_c[0], qkv_s[0], bias)                    # (8, 3H)
+    q_row = qkv[:, :hidden]
+    k_row = qkv[:, hidden:2 * hidden]
+    v_row = qkv[:, 2 * hidden:]
     k_out[0] = k_row
     v_out[0] = v_row
     attn = _attend_cached(q_row, kc_ref[0], vc_ref[0], k_row, v_row,
                           pos, n_heads, d, scale)
-    aq, asx = _quant_row(attn)
-    ad = _block_diag(aq, hidden)
-    o = _qdot(ad, asx, occ_c[0][:, :hidden], occ_s[0][:, :hidden], bias)
-    x = x + jnp.broadcast_to(o, x.shape)
+    o = _dqdot(attn, occ_c[0][:, :hidden], occ_s[0][:, :hidden], bias)
+    x = x + o
 
     # --- cross attention (precomputed K/V) ---
     if use_cross:
         h2 = _ln(x, nm[2:3], nm[3:4])
-        cq_q, cq_sx = _quant_row(h2)
-        cqd = _block_diag(cq_q, hidden)
-        cq = _qdot(cqd, cq_sx, occ_c[0][:, hidden:2 * hidden],
-                   occ_s[0][:, hidden:2 * hidden], bias)
-        cq8 = jnp.broadcast_to(cq, (8, hidden))
-        ca = _attend_cross(cq8, ck_ref[0], cv_ref[0], n_heads, d, scale)
-        caq, ca_sx = _quant_row(ca)
-        cad = _block_diag(caq, hidden)
-        co = _qdot(cad, ca_sx, occ_c[0][:, 2 * hidden:],
-                   occ_s[0][:, 2 * hidden:], bias)
-        x = x + jnp.broadcast_to(co, x.shape)
+        cq = _dqdot(h2, occ_c[0][:, hidden:2 * hidden],
+                    occ_s[0][:, hidden:2 * hidden], bias)
+        ca = _attend_cross(cq, ck_ref[0], cv_ref[0], n_heads, d, scale)
+        co = _dqdot(ca, occ_c[0][:, 2 * hidden:],
+                    occ_s[0][:, 2 * hidden:], bias)
+        x = x + co
 
     # --- MLP ---
     h3 = _ln(x, nm[4:5], nm[5:6])
-    mq, msx = _quant_row(h3)
-    md = _block_diag(mq, hidden)
-    up = _qdot(md, msx, f1_c[0], f1_s[0], bias)                   # (1, F)
-    up = jax.nn.gelu(jnp.broadcast_to(up, (8, up.shape[1])), approximate=True)
-    uq, usx = _quant_row(up)
-    ud = _block_diag(uq, up.shape[1])
-    down = _qdot(ud, usx, f2_c[0], f2_s[0], bias)                 # (1, H)
-    x = x + jnp.broadcast_to(down, x.shape)
+    up = _dqdot(h3, f1_c[0], f1_s[0], bias)                       # (8, F)
+    up = jax.nn.gelu(up, approximate=True)
+    down = _dqdot(up, f2_c[0], f2_s[0], bias)                     # (8, H)
+    x = x + down
 
     x_scr[:] = x
 
@@ -365,49 +349,6 @@ def _parler_megastep_tpu(mega: MegaLayers, x, kv_k, kv_v, pos, *, qtype: int,
 # serving model (examples/server/server.cpp:885-897) with one program.
 
 
-def _quant_rows(h):
-    """(B, K) f32 -> (xq int-valued f32, sx (B, 1)) per-row absmax quant."""
-    amax = jnp.max(jnp.abs(h), axis=1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-12) / 127.0
-    return jnp.round(h / sx), sx
-
-
-def _qdot_rows(xq, sx, codes, scales, bias, *, kc=512):
-    """Batched block-scaled int8 dot: xq (B, K) x codes (K, N) -> (B, N).
-
-    K is processed in chunks of `kc`: each chunk embeds the B rows block-
-    diagonally as (B*kc/32, kc) and does one int8 MXU matmul. Chunking keeps
-    the block-diagonal zero-padding waste at kc/32 x dense (vs K/32 x for the
-    unchunked embed) — 8x fewer MXU MACs at K=4096.
-    """
-    b, k = xq.shape
-    kc = min(kc, k)
-    n = codes.shape[1]
-    nb = kc // QK
-    rows = b * nb
-    out = jnp.zeros((b, n), jnp.float32)
-    for c0 in range(0, k, kc):
-        xc = xq[:, c0:c0 + kc]
-        xb = jnp.broadcast_to(xc[:, None, :], (b, nb, kc)).reshape(rows, kc)
-        blk = jax.lax.broadcasted_iota(jnp.int32, (rows, kc), 0) % nb
-        cols = jax.lax.broadcasted_iota(jnp.int32, (rows, kc), 1)
-        xd = jnp.where(cols // QK == blk, xb, 0.0).astype(jnp.int32) \
-            .astype(jnp.int8)
-        p = jax.lax.dot_general(
-            xd, codes[c0:c0 + kc, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)  # (rows, N)
-        if bias:
-            ones = jnp.ones((kc, 1), jnp.int8)
-            sxs = jax.lax.dot_general(
-                xd, ones, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-            p = p - bias * sxs
-        p3 = p.reshape(b, nb, n) * scales[c0 // QK:(c0 + kc) // QK][None]
-        out = out + jnp.sum(p3, axis=1)
-    return out * sx
-
-
 def _megastep_batched_kernel(mp_ref, pos_ref, x_ref, qkv_c, qkv_s, occ_c,
                              occ_s, f1_c, f1_s, f2_c, f2_s, norms, ck_ref,
                              cv_ref, kc_ref, vc_ref,
@@ -431,8 +372,7 @@ def _megastep_batched_kernel(mp_ref, pos_ref, x_ref, qkv_c, qkv_s, occ_c,
         nm = norms[0]
         x = x_scr[:]                                       # (B, H)
         h1 = _ln(x, nm[0:1], nm[1:2])
-        xq, sx = _quant_rows(h1)
-        qkv = _qdot_rows(xq, sx, qkv_c[0], qkv_s[0], bias)  # (B, 3H)
+        qkv = _dqdot(h1, qkv_c[0], qkv_s[0], bias)         # (B, 3H)
         k_out[0] = qkv[:, hidden:2 * hidden]
         v_out[0] = qkv[:, 2 * hidden:]
         for h in range(n_heads):
@@ -483,26 +423,21 @@ def _megastep_batched_kernel(mp_ref, pos_ref, x_ref, qkv_c, qkv_s, occ_c,
         att4 = att.reshape(b, n_heads, d)
         for h in range(n_heads):
             att_scr[:, h * d:(h + 1) * d] = att4[:, h, :]
-        aq, asx = _quant_rows(att_scr[:])
-        o = _qdot_rows(aq, asx, occ_c[0][:, :hidden],
-                       occ_s[0][:, :hidden], bias)
+        o = _dqdot(att_scr[:], occ_c[0][:, :hidden],
+                   occ_s[0][:, :hidden], bias)
         x = x_scr[:] + o
         if use_cross:
             h2 = _ln(x, nm[2:3], nm[3:4])
-            cqq, cqs = _quant_rows(h2)
-            cq = _qdot_rows(cqq, cqs, occ_c[0][:, hidden:2 * hidden],
-                            occ_s[0][:, hidden:2 * hidden], bias)
+            cq = _dqdot(h2, occ_c[0][:, hidden:2 * hidden],
+                        occ_s[0][:, hidden:2 * hidden], bias)
             ca = _attend_cross(cq, ck_ref[0], cv_ref[0], n_heads, d, scale)
-            caq, cas = _quant_rows(ca)
-            co = _qdot_rows(caq, cas, occ_c[0][:, 2 * hidden:],
-                            occ_s[0][:, 2 * hidden:], bias)
+            co = _dqdot(ca, occ_c[0][:, 2 * hidden:],
+                        occ_s[0][:, 2 * hidden:], bias)
             x = x + co
         h3 = _ln(x, nm[4:5], nm[5:6])
-        mq, msx = _quant_rows(h3)
-        up = _qdot_rows(mq, msx, f1_c[0], f1_s[0], bias)   # (B, F)
+        up = _dqdot(h3, f1_c[0], f1_s[0], bias)            # (B, F)
         up = jax.nn.gelu(up, approximate=True)
-        uq, usx = _quant_rows(up)
-        down = _qdot_rows(uq, usx, f2_c[0], f2_s[0], bias)
+        down = _dqdot(up, f2_c[0], f2_s[0], bias)
         x = x + down
         x_scr[:] = x
 
@@ -627,8 +562,8 @@ def parler_megastep_batched_reference(mega: MegaLayers, x, kv_k, kv_v, pos,
                                       *, qtype: int, use_cross: bool,
                                       n_heads: int):
     """Vmapped single-slot reference — the batched kernel's math is exactly
-    the single kernel's applied independently per slot (per-row activation
-    quant), so this IS the spec."""
+    the single kernel's applied independently per slot (the dequant matmul
+    has no cross-row coupling), so this IS the spec."""
     pos = jnp.asarray(pos, jnp.int32)
 
     def one(xb, kb, vb, pb):
@@ -646,27 +581,24 @@ def parler_megastep_batched_reference(mega: MegaLayers, x, kv_k, kv_v, pos,
 # ---------------------------------------------------------------------------
 
 def _qdot_ref(h_row, codes, scales, bias):
-    """h_row (1, K) f32 -> (1, N): same int8 per-row-quant math as the
-    kernel, in plain XLA (exact integer arithmetic via f32 dots on small
-    ints)."""
+    """h_row (B, K) f32 -> (B, N): same dequant math as the kernel's _dqdot
+    (block dequant to bf16, bf16 activations, f32 accumulation) in plain XLA.
+    Accumulation order may differ from the MXU by float-rounding ULPs."""
     k = h_row.shape[1]
-    amax = jnp.max(jnp.abs(h_row))
-    sx = jnp.maximum(amax, 1e-12) / 127.0
-    xq = jnp.round(h_row / sx)                                    # (1, K)
-    b = k // QK
-    xb = xq.reshape(b, QK)
     cf = codes.astype(jnp.float32)                                # (K, N)
-    p = jnp.einsum("bq,bqn->bn", xb, cf.reshape(b, QK, -1),
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)           # (B, N)
     if bias:
-        p = p - bias * jnp.sum(xb, axis=1, keepdims=True)
-    return (jnp.sum(p * scales, axis=0, keepdims=True) * sx)
+        cf = cf - bias
+    srep = jnp.repeat(scales, QK, axis=0, total_repeat_length=k)  # (K, N)
+    wf = (cf * srep).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        h_row.astype(jnp.bfloat16), wf,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def parler_megastep_reference(mega: MegaLayers, x, kv_k, kv_v, pos, *,
                               qtype: int, use_cross: bool, n_heads: int):
-    """Pure-XLA mirror of parler_megastep (same activation-quant math)."""
+    """Pure-XLA mirror of parler_megastep (same bf16 block-dequant math)."""
     L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
     d = hidden // n_heads
     scale = 1.0 / np.sqrt(d)
