@@ -1,14 +1,17 @@
 """Performance benchmark — prints ONE JSON line for the driver.
 
-Measures the flagship workload: Parler-Mini-shaped (24L/1024H/9-head) Q4_0
-autoregressive decode as a single jitted on-device generation loop, on
-whatever accelerator jax provides (the real TPU chip under the driver).
+Primary metric: Parler-Mini-shaped (24L/1024H/9-head) Q4_0 END-TO-END
+real-time factor — autoregressive decode (jitted on-device generation loop)
+PLUS DAC-44k vocode, matching the reference's perf_battery scope
+(examples/perf_battery/perf_battery.cpp:25-118: generation + decode).
 
-Metric: real-time factor in audio-seconds per wall-second (1 decode step =
-512 samples @ 44.1 kHz = ~11.61 ms of audio). vs_baseline compares against
-the reference's best published generation RTF on M1 Max Metal
-(examples/perf_battery/README.md: 0.695635 gen-time/audio-time, i.e.
-1.4375 audio-sec/wall-sec).
+Detail carries the rest of the battery: decode-only RTF, batched-8
+aggregate RTF, p50/p90 time-to-first-audio through generate_stream,
+Orpheus-3B-shaped and Dia-1.6B-shaped Q4 decode RTF, and Kokoro-82M RTF.
+
+vs_baseline compares e2e RTF against the reference's best published total
+RTF on M1 Max Metal (README.md:103: 1.112033 gen-time/audio-time incl. F32
+DAC, i.e. 0.8993 audio-sec/wall-sec).
 """
 from __future__ import annotations
 
@@ -17,9 +20,13 @@ import time
 
 import numpy as np
 
-REFERENCE_AUDIO_PER_WALL = 1.0 / 0.695635  # M1 Max Metal, Parler Mini Q5_0
+REFERENCE_AUDIO_PER_WALL = 1.0 / 1.112033  # M1 Max Metal, total incl. DAC
+REFERENCE_DECODE_AUDIO_PER_WALL = 1.0 / 0.695635  # generation only
 SAMPLES_PER_STEP = 512
 SAMPLE_RATE = 44100.0
+# SNAC frame group: 7 LM tokens -> 4 finest-codebook tokens x 512 samples
+# @ 24 kHz (orpheus/model.cpp:371-387, snac_model.h:14)
+ORPHEUS_AUDIO_PER_TOKEN = 2048.0 / 7.0 / 24000.0
 
 
 def build_q4_parler(rng, n_layers=24, hidden=1024, heads=16, ffn=4096,
@@ -248,6 +255,268 @@ def bench_kokoro(rng) -> dict:
     }
 
 
+def build_dac_44k(rng):
+    """DAC-44kHz-decoder-shaped random weights (descript DAC: latent 1024,
+    d_model 1536, rates 8/8/4/2, codebook dim 8, 9 quantizers — the vocoder
+    the reference times in perf_battery)."""
+    import jax.numpy as jnp
+    from tts_tpu.models.codec.dac import (CodecLayerWeights, DACConfig,
+                                          DACWeights, QuantizeLayerWeights,
+                                          ResidualUnitWeights)
+
+    def r(*s, scale=0.05):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * scale)
+
+    def alpha(c):
+        return jnp.abs(r(c, 1)) + 0.5
+
+    chans = [1536, 768, 384, 192, 96]
+    cfg = DACConfig()
+    layers = []
+    for i, (s, p) in enumerate(zip(cfg.strides, cfg.paddings)):
+        cin, cout = chans[i], chans[i + 1]
+        units = [ResidualUnitWeights(
+            in_alpha=alpha(cout), in_w=r(cout, cout, 7), in_b=r(cout),
+            out_alpha=alpha(cout), out_w=r(cout, cout, 1), out_b=r(cout))
+            for _ in range(3)]
+        layers.append(CodecLayerWeights(
+            alpha=alpha(cin), up_w=r(cin, cout, 2 * s), up_b=r(cout),
+            noise_w=None, units=units))
+    quantizers = [QuantizeLayerWeights(codebook=r(1024, 8),
+                                       out_w=r(1024, 8, 1), out_b=r(1024))
+                  for _ in range(cfg.n_heads)]
+    w = DACWeights(quantizers=quantizers, in_w=r(1536, 1024, 7),
+                   in_b=r(1536), layers=layers, final_alpha=alpha(96),
+                   out_w=r(1, 96, 7, scale=0.001), out_b=r(1))
+    return cfg, w
+
+
+def _q4_dev(key, n, k, layers=None):
+    """Random Q4_0 QuantTensor generated ON DEVICE in device layout (no
+    host->device transfer of GB-scale codes; HBM traffic identical to a real
+    checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    from tts_tpu.gguf import quants
+    from tts_tpu.ops.quant_matmul import QuantTensor
+    kc, ks = jax.random.split(key)
+    shp = (k, n) if layers is None else (layers, k, n)
+    sshp = (k // 32, n) if layers is None else (layers, k // 32, n)
+    codes = jax.random.randint(kc, shp, 0, 16, dtype=jnp.int8)
+    scales = jax.random.uniform(ks, sshp, jnp.float32, 0.001, 0.006)
+    return QuantTensor(codes, scales, quants.GGML_TYPE_Q4_0)
+
+
+def build_q4_orpheus(seed=11):
+    """Orpheus-3B-shaped (28L/3072H/GQA 24q-8kv/ffn 8192) Q4 weights, built
+    on device inside one jitted program. Vocab padded 156940 -> 157184
+    (multiple of 256) so the LM head takes the Pallas quant-matmul path."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from tts_tpu.models.orpheus.model import OrpheusConfig, OrpheusLayer, OrpheusWeights
+
+    cfg = OrpheusConfig(vocab_size=157184, max_context_length=1024,
+                        stopping_token_id=10 ** 9, eos_token_id=10 ** 9)
+    L, H, F, D = cfg.n_layers, cfg.hidden_size, 8192, cfg.head_size
+    KV = cfg.n_kv_heads * D
+
+    @jax.jit
+    def mk(key):
+        ks = iter(jax.random.split(key, 16))
+        layers = OrpheusLayer(
+            in_norm=jnp.ones((L, H)),
+            q=_q4_dev(next(ks), H, H, L), k=_q4_dev(next(ks), KV, H, L),
+            v=_q4_dev(next(ks), KV, H, L), o=_q4_dev(next(ks), H, H, L),
+            post_norm=jnp.ones((L, H)),
+            gate=_q4_dev(next(ks), F, H, L), up=_q4_dev(next(ks), F, H, L),
+            down=_q4_dev(next(ks), H, F, L))
+        return OrpheusWeights(
+            embd=jax.random.normal(next(ks), (cfg.vocab_size, H),
+                                   jnp.bfloat16).astype(jnp.float32) * 0.02,
+            layers=layers,
+            out_norm=jnp.ones((H,)),
+            head=_q4_dev(next(ks), cfg.vocab_size, H),
+            rope_freqs=jnp.ones((D // 2,)),
+        )
+
+    return cfg, mk(jax.random.PRNGKey(seed))
+
+
+def build_q4_dia(seed=13):
+    """Dia-1.6B-shaped (enc 12L/1024, dec 18L/2048, GQA 16q-4kv, CFG
+    batch-2) Q4 weights, built on device. Output vocab 1024 (vs the real
+    1028) keeps the 9 stacked LM heads 256-aligned for the Pallas path; EOS
+    is then unreachable, which is what a fixed-step benchmark wants."""
+    import jax
+    import jax.numpy as jnp
+    from tts_tpu.models.dia.model import (DiaConfig, DiaDecoderLayer,
+                                          DiaEncoderLayer, DiaWeights)
+
+    cfg = DiaConfig(output_vocab_size=1024)
+    EL, EH = cfg.n_encoder_layers, cfg.encoder_hidden_size
+    DL, DH = cfg.n_decoder_layers, cfg.decoder_hidden_size
+    D = cfg.head_size
+    QH = cfg.decoder_attn_heads * D          # 2048
+    KVH = cfg.n_kv_heads * D                 # 512
+    EF, DF = 4096, 8192
+
+    @jax.jit
+    def mk(key):
+        ks = iter(jax.random.split(key, 32))
+        enc = DiaEncoderLayer(
+            sa_norm=jnp.ones((EL, EH)),
+            q=_q4_dev(next(ks), EH, EH, EL), k=_q4_dev(next(ks), EH, EH, EL),
+            v=_q4_dev(next(ks), EH, EH, EL), o=_q4_dev(next(ks), EH, EH, EL),
+            mlp_norm=jnp.ones((EL, EH)),
+            gate=_q4_dev(next(ks), EF, EH, EL),
+            up=_q4_dev(next(ks), EF, EH, EL),
+            wo=_q4_dev(next(ks), EH, EF, EL))
+        dec = DiaDecoderLayer(
+            sa_norm=jnp.ones((DL, DH)),
+            self_q=_q4_dev(next(ks), QH, DH, DL),
+            self_k=_q4_dev(next(ks), KVH, DH, DL),
+            self_v=_q4_dev(next(ks), KVH, DH, DL),
+            self_o=_q4_dev(next(ks), DH, QH, DL),
+            ca_norm=jnp.ones((DL, DH)),
+            cross_q=_q4_dev(next(ks), QH, DH, DL),
+            cross_k=_q4_dev(next(ks), QH, EH, DL),
+            cross_v=_q4_dev(next(ks), QH, EH, DL),
+            cross_o=_q4_dev(next(ks), DH, QH, DL),
+            mlp_norm=jnp.ones((DL, DH)),
+            gate=_q4_dev(next(ks), DF, DH, DL),
+            up=_q4_dev(next(ks), DF, DH, DL),
+            wo=_q4_dev(next(ks), DH, DF, DL))
+        return DiaWeights(
+            enc_embedding=jax.random.normal(next(ks), (256, EH)) * 0.02,
+            enc_layers=enc,
+            enc_norm=jnp.ones((EH,)),
+            dec_embds=jax.random.normal(
+                next(ks), (cfg.n_output_heads, 1028, DH)) * 0.02,
+            dec_layers=dec,
+            dec_norm=jnp.ones((DH,)),
+            heads=_q4_dev(next(ks), cfg.n_output_heads * cfg.output_vocab_size,
+                          DH),
+        )
+
+    return cfg, mk(jax.random.PRNGKey(seed))
+
+
+def bench_orpheus() -> dict:
+    """Orpheus-3B-shaped Q4 decode RTF (reference hot loop:
+    orpheus/model.cpp:389-405; audio constants BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from tts_tpu.common import kv_cache_dtype
+    from tts_tpu.models.orpheus.model import (OrpheusState, orpheus_decode_chunk,
+                                              orpheus_prefill)
+    from tts_tpu.ops import sampling
+
+    from tts_tpu.models.orpheus.model import maybe_prep_llama_mega
+
+    cfg, w = build_q4_orpheus()
+    mega, mega_qtype = maybe_prep_llama_mega(cfg, w)
+    dt = kv_cache_dtype()
+    shape = (cfg.n_layers, cfg.n_kv_heads, cfg.max_context_length,
+             cfg.head_size)
+    rng = np.random.default_rng(4)
+    tokens = jnp.asarray(rng.integers(0, 100000, 64).astype(np.int32))
+    logits, kv_k, kv_v = orpheus_prefill(cfg, w, tokens, jnp.int32(64),
+                                         jnp.zeros(shape, dt),
+                                         jnp.zeros(shape, dt))
+    first = jnp.argmax(logits).astype(jnp.int32)
+    st = OrpheusState(
+        kv_k=kv_k, kv_v=kv_v, pos=jnp.int32(64), token_in=first,
+        n_out=jnp.int32(1), done=jnp.asarray(False),
+        out_tokens=jnp.zeros((256,), jnp.int32).at[0].set(first),
+        sampler_state=sampling.init_state(1), key=jax.random.PRNGKey(5))
+    steps = 64
+
+    def run(st):
+        st = orpheus_decode_chunk(cfg, w, st, n_steps=steps, max_steps=256,
+                                  do_sample=True, top_k=50, mega=mega,
+                                  mega_qtype=mega_qtype)
+        int(np.asarray(st.out_tokens).sum())
+        return st
+
+    st = run(st)  # compile + warm
+    t0 = time.perf_counter()
+    run(st)
+    per = (time.perf_counter() - t0 - 0.033) / steps
+    return {"orpheus_3b_q4_decode_rtf": round(ORPHEUS_AUDIO_PER_TOKEN / per, 3),
+            "orpheus_ms_per_step": round(per * 1e3, 3),
+            "orpheus_megakernel": mega is not None}
+
+
+def bench_dia() -> dict:
+    """Dia-1.6B-shaped Q4 decode RTF (CFG batch-2 decode; reference hot
+    loop dia/model.cpp:697-721)."""
+    import jax
+    import jax.numpy as jnp
+    from tts_tpu.models.dia.model import (_dia_init_state, dia_decode_chunk,
+                                          dia_encode)
+
+    cfg, w = build_q4_dia()
+    rng = np.random.default_rng(6)
+    toks = np.zeros((2, cfg.max_encoder_context_length), np.int32)
+    toks[0, :100] = rng.integers(3, 250, 100)
+    hidden, ck, cv = dia_encode(cfg, w, jnp.asarray(toks), jnp.int32(100))
+    st = _dia_init_state(cfg, jax.random.PRNGKey(7), 256)
+    steps = 64
+
+    def run(st):
+        st = dia_decode_chunk(cfg, w, ck, cv, st, n_steps=steps,
+                              max_steps=256, do_sample=True, top_k=50)
+        int(np.asarray(st.out_tokens).sum())
+        return st
+
+    st = run(st)  # compile + warm
+    t0 = time.perf_counter()
+    run(st)
+    per = (time.perf_counter() - t0 - 0.033) / steps
+    return {"dia_1p6b_q4_decode_rtf": round(SAMPLES_PER_STEP / SAMPLE_RATE / per, 3),
+            "dia_ms_per_step": round(per * 1e3, 3)}
+
+
+class _BenchTok:
+    """Deterministic stand-in tokenizer for runner-level benches."""
+
+    eos_token = 2
+
+    def tokenize(self, text):
+        return [3 + (ord(c) % 800) for c in text]
+
+
+def bench_ttfa(cfg, weights, dac_cfg, dac_w, runs=5) -> dict:
+    """p50/p90 time-to-first-audio through ParlerRunner.generate_stream
+    (prefill + first decode chunk + incremental vocode) — the BASELINE
+    north-star latency metric."""
+    from tts_tpu.common import GenerationConfig
+    from tts_tpu.models.codec.dac import DACRunner
+    from tts_tpu.models.parler.model import ParlerRunner
+
+    dac = DACRunner(dac_cfg, dac_w, buckets=(64, 128, 256, 512, 1024))
+    runner = ParlerRunner(cfg, weights, _BenchTok(), dac_runner=dac)
+    text = "The quick brown fox jumps over the lazy dog near the river."
+
+    def first_audio(seed):
+        t0 = time.perf_counter()
+        g = runner.generate_stream(text, GenerationConfig(sample=True,
+                                                          top_k=50,
+                                                          seed=seed))
+        chunk = next(g)
+        dt = time.perf_counter() - t0
+        g.close()
+        return dt, chunk.shape[0]
+
+    first_audio(0)  # compile + warm (prefill, chunk, dac buckets)
+    ts = sorted(first_audio(i + 1)[0] for i in range(runs))
+    p50 = ts[len(ts) // 2]
+    p90 = ts[min(len(ts) - 1, int(round(0.9 * (len(ts) - 1))))]
+    return {"ttfa_p50_ms": round(p50 * 1e3, 1),
+            "ttfa_p90_ms": round(p90 * 1e3, 1)}
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -291,6 +560,31 @@ def main() -> None:
     audio_s = n * SAMPLES_PER_STEP / SAMPLE_RATE
     rtf = audio_s / wall
 
+    # --- end-to-end: decode + DAC-44k vocode (reference perf_battery scope,
+    # perf_battery.cpp:25-118: mean generation + decode time) ---
+    from tts_tpu.models.codec.dac import DACRunner, dac_decode
+    dac_cfg, dac_w = build_dac_44k(np.random.default_rng(3))
+    frames = jnp.asarray(
+        (rng.integers(0, 1024, (512, cfg.n_output_heads))).astype(np.int32))
+
+    def vocode(fr):
+        wav = dac_decode(dac_cfg, dac_w, fr, valid=jnp.int32(n))
+        return float(np.asarray(wav).sum())
+
+    vocode(frames)               # compile
+    vocode((frames + 1) % 1024)  # first-run autotune settles on 2nd call
+    t0 = time.perf_counter()
+    vocode((frames + 2) % 1024)  # distinct input defeats the relay cache
+    t_voc = time.perf_counter() - t0
+    e2e_rtf = audio_s / (wall + t_voc)
+
+    try:
+        ttfa = bench_ttfa(cfg, weights, dac_cfg, dac_w)
+    except Exception as e:  # noqa: BLE001
+        import traceback
+        traceback.print_exc()
+        ttfa = {"ttfa_error": str(e)[:200]}
+
     # batched throughput: 8 concurrent streams through the continuous-
     # batching engine (one weight read serves all slots)
     from tts_tpu.runtime.batched_parler import (batched_decode_chunk,
@@ -320,19 +614,32 @@ def main() -> None:
         traceback.print_exc()
         kokoro = {"kokoro_rtf": None, "kokoro_error": str(e)[:200]}
 
+    extra = {}
+    for fn in (bench_orpheus, bench_dia):
+        try:
+            extra.update(fn())
+        except Exception as e:  # noqa: BLE001
+            import traceback
+            traceback.print_exc()
+            extra[fn.__name__ + "_error"] = str(e)[:200]
+
     print(json.dumps({
-        "metric": "parler_mini_q4_decode_rtf",
-        "value": round(rtf, 4),
+        "metric": "parler_mini_q4_e2e_rtf",
+        "value": round(e2e_rtf, 4),
         "unit": "audio_sec_per_wall_sec",
-        "vs_baseline": round(rtf / REFERENCE_AUDIO_PER_WALL, 4),
+        "vs_baseline": round(e2e_rtf / REFERENCE_AUDIO_PER_WALL, 4),
         "detail": {
             "megakernel": mega is not None,
             "steps": n,
-            "wall_s": round(wall, 4),
+            "decode_rtf": round(rtf, 4),
+            "decode_wall_s": round(wall, 4),
+            "dac_vocode_s": round(t_voc, 4),
             "steps_per_s": round(n / wall, 2),
             "tokens_per_s": round(9 * n / wall, 2),
             "batched_rtf_8_streams": round(batched_rtf, 3),
             "batched_tokens_per_s": round(batched_tps, 1),
+            **ttfa,
+            **extra,
             **kokoro,
             "device": str(jax.devices()[0]),
         },

@@ -183,7 +183,11 @@ def dia_encode(cfg: DiaConfig, w: DiaWeights, tokens, sentence_length):
         v = _heads(matmul(hidden, lw.cross_v), cfg.decoder_attn_heads)
         return k, v
 
-    ck, cv = jax.vmap(cross_kv)(w.dec_layers)
+    # lax.map (NOT vmap): vmapping the Pallas quant-matmul over the stacked
+    # QuantTensor layer axis makes Mosaic allocate the whole (L, T, H) output
+    # block in VMEM (observed 37 MB > 16 MB scoped limit at Dia-1.6B scale);
+    # sequential per-layer kernel calls are fine for this run-once prefill.
+    ck, cv = jax.lax.map(cross_kv, w.dec_layers)
     return hidden, ck, cv
 
 

@@ -578,7 +578,7 @@ class ParlerRunner(TTSRunner):
         return TTSResponse(np.asarray(audio, np.float32), SAMPLE_RATE_DAC)
 
     def generate_stream(self, text: str, config: GenerationConfig | None = None,
-                        chunk: int = 64, margin: int = 16):
+                        chunk: int | None = None, margin: int = 16):
         """Streaming generation: yields float32 waveform chunks as decode
         chunks complete, vocoding incrementally with `margin` frames of
         overlap context on each side (the DAC receptive field) so the
@@ -605,8 +605,14 @@ class ParlerRunner(TTSRunner):
                       repetition_penalty=float(config.repetition_penalty))
         emitted = 0
         up = self.dac.cfg.up_sampling_factor if self.dac is not None else 0
+        # small first chunks minimize time-to-first-audio; growth amortizes
+        # the per-chunk host round-trip once the stream is ahead of realtime
+        from ...common import chunk_schedule
+        sched = iter(lambda: chunk, None) if chunk else \
+            chunk_schedule(first=32, cap=256)
         while True:
-            st = parler_decode_chunk(cfg, self.weights, st, n_steps=chunk,
+            st = parler_decode_chunk(cfg, self.weights, st,
+                                     n_steps=next(sched),
                                      mega=self._mega,
                                      mega_qtype=self._mega_qtype, **gen_kw)
             done = not bool(_parler_not_done_jit(cfg, st.step, st.eos_seen,

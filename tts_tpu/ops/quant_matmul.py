@@ -94,7 +94,13 @@ def quant_matmul_pallas(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
     n = codes_t.shape[1]
     tile_n = min(tile_n, n)
     # Lane dim (N tile) must be 128-aligned or full; sublane K is taken whole.
-    if n % tile_n or (tile_n % 128 and tile_n != n) or k % QK or k > 16384:
+    # Large M (prefill / encoder passes) goes to XLA: the kernel keeps the
+    # whole (M, K) activation block in VMEM (sized for decode matvecs), and
+    # at M>=2048 that blows the 16 MB scoped-vmem limit (observed at Dia
+    # encoder scale); those shapes are compute-bound, where XLA's
+    # dequant+dot does fine.
+    if (n % tile_n or (tile_n % 128 and tile_n != n) or k % QK or k > 16384
+            or m > 256):
         return quant_matmul_xla(x, codes_t, scales_t, qtype)
     m_pad = max(8, ((m + 7) // 8) * 8)
     xp = jnp.zeros((m_pad, k), x.dtype).at[:m].set(x) if m_pad != m else x

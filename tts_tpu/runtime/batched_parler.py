@@ -93,11 +93,17 @@ def _batched_layer(cfg: ParlerConfig, x, lw, kv_k, kv_v, pos, cont,
     # overwrite the row at their frozen `pos`, which is harmless: their
     # attention output and every state update are discarded (cont-masked),
     # and insert_request rewrites the whole slot cache on reuse.
+    #
+    # The per-slot writes are unrolled over the static B (NOT vmapped):
+    # vmapping dynamic_update_slice over per-slot start indices makes XLA
+    # materialize a select over the whole cache (GB/step of HBM traffic);
+    # B scalar-start updates stay tiny in-place row writes.
     del cont
-    upd = jax.vmap(lambda kvb, kb, pb: jax.lax.dynamic_update_slice(
-        kvb, kb[:, None, :].astype(kvb.dtype), (0, pb, 0)))
-    kv_k = upd(kv_k, k, pos)
-    kv_v = upd(kv_v, v, pos)
+    for s in range(b):
+        kv_k = jax.lax.dynamic_update_slice(
+            kv_k, k[s][None, :, None, :].astype(kv_k.dtype), (s, 0, pos[s], 0))
+        kv_v = jax.lax.dynamic_update_slice(
+            kv_v, v[s][None, :, None, :].astype(kv_v.dtype), (s, 0, pos[s], 0))
     attn = decode_attention_batched(q, kv_k, kv_v, pos)   # (B, nh, D)
     x = x + matmul(attn.reshape(b, cfg.hidden_size), lw.o_w)
     if use_cross:
@@ -136,16 +142,18 @@ def batched_decode_chunk(cfg: ParlerConfig, w: ParlerWeights,
                 mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
                 use_cross=use_cross, n_heads=cfg.n_attn_heads)
             L, hs, d = cfg.n_layers, cfg.n_attn_heads, cfg.head_size
-
-            def upd(kvb, kb, pb):
-                # kvb (L, nh, ctx, D) one slot; kb (L, nh, 1, D)
-                return jax.lax.dynamic_update_slice(
-                    kvb, kb.astype(kvb.dtype), (0, 0, pb, 0))
-
-            kv_k = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(
-                st.kv_k, kn.reshape(L, -1, hs, 1, d), st.pos)
-            kv_v = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(
-                st.kv_v, vn.reshape(L, -1, hs, 1, d), st.pos)
+            b = x.shape[0]
+            kn = kn.reshape(L, b, hs, 1, d)
+            vn = vn.reshape(L, b, hs, 1, d)
+            # unrolled scalar-start row writes — see _batched_layer
+            kv_k, kv_v = st.kv_k, st.kv_v
+            for s in range(b):
+                kv_k = jax.lax.dynamic_update_slice(
+                    kv_k, kn[:, s:s + 1].astype(kv_k.dtype),
+                    (0, s, 0, st.pos[s], 0))
+                kv_v = jax.lax.dynamic_update_slice(
+                    kv_v, vn[:, s:s + 1].astype(kv_v.dtype),
+                    (0, s, 0, st.pos[s], 0))
             x = xo
         else:
             def layer_body(carry, inp):
