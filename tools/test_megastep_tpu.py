@@ -163,9 +163,83 @@ def perf_full():
           flush=True)
 
 
+def check_llama_small():
+    """Llama megastep kernel vs XLA reference at tiny GQA dims."""
+    from tests.test_llama_megastep import tiny_q4_llama
+    from tts_tpu.ops.llama_megastep import (llama_megastep,
+                                            llama_megastep_reference,
+                                            prep_llama_mega)
+    rng = np.random.default_rng(4)
+    cfg, w = tiny_q4_llama(rng, L=2, H=256, heads=4, kv=2, F=512, ctx=256)
+    mega, qtype = prep_llama_mega(w.layers)
+    L, nkv, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_size
+    shape = (L, nkv, 256, d)
+    kv_k = (jnp.asarray(rng.standard_normal(shape).astype(np.float32)) * 0.3
+            ).astype(jnp.bfloat16)
+    kv_v = (jnp.asarray(rng.standard_normal(shape).astype(np.float32)) * 0.3
+            ).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((1, cfg.hidden_size)
+                                        ).astype(np.float32)) * 0.5
+    kw = dict(qtype=qtype, n_heads=cfg.n_attn_heads, n_kv=nkv,
+              rope_base=cfg.rope_theta, rope_freq_factors=w.rope_freqs)
+    xo_k, kn_k, vn_k = llama_megastep(mega, x, kv_k, kv_v, jnp.int32(37), **kw)
+    xo_r, kn_r, vn_r = llama_megastep_reference(mega, x, kv_k, kv_v,
+                                                jnp.int32(37), **kw)
+    for name, a, b in (("x", xo_k, xo_r), ("k", kn_k, kn_r),
+                       ("v", vn_k, vn_r)):
+        an, bn = np.asarray(a), np.asarray(b)
+        rel = np.abs(an - bn).max() / (np.abs(bn).max() + 1e-9)
+        print(f"llama kernel vs ref {name}: rel {rel:.3e}", flush=True)
+
+
+def perf_llama(ctx=1024):
+    """Orpheus-3B-shaped megastep kernel, steps timed inside one scan."""
+    from bench import build_q4_orpheus
+    from tts_tpu.ops.llama_megastep import llama_megastep, prep_llama_mega
+    cfg, w = build_q4_orpheus()
+    mega, qtype = prep_llama_mega(w.layers)
+    L, nkv, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_size
+    kv_k = jnp.zeros((L, nkv, ctx, d), jnp.bfloat16)
+    kv_v = jnp.zeros((L, nkv, ctx, d), jnp.bfloat16)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, cfg.hidden_size)
+                                        ).astype(np.float32)) * 0.5
+    STEPS = 128
+    kw = dict(qtype=qtype, n_heads=cfg.n_attn_heads, n_kv=nkv,
+              rope_base=cfg.rope_theta)
+
+    @jax.jit
+    def run(x, mega, kv_k, kv_v, ff):
+        def step(carry, i):
+            xx, kk, vv = carry
+            xo, kn, vn = llama_megastep(mega, xx, kk, vv, 64 + i,
+                                        rope_freq_factors=ff, **kw)
+            kk = jax.lax.dynamic_update_slice(
+                kk, kn.reshape(L, nkv, 1, d).astype(kk.dtype),
+                (0, 0, 64 + i, 0))
+            vv = jax.lax.dynamic_update_slice(
+                vv, vn.reshape(L, nkv, 1, d).astype(vv.dtype),
+                (0, 0, 64 + i, 0))
+            return (xo, kk, vv), ()
+        (xx, _, _), _ = jax.lax.scan(step, (x, kv_k, kv_v),
+                                     jnp.arange(STEPS))
+        return jnp.sum(xx)
+
+    float(run(x, mega, kv_k, kv_v, w.rope_freqs))
+    t0 = time.perf_counter()
+    float(run(x * 1.001, mega, kv_k, kv_v, w.rope_freqs))
+    per = (time.perf_counter() - t0 - 0.033) / STEPS
+    gb = (cfg.hidden_size * (cfg.hidden_size + 2 * nkv * d + cfg.hidden_size
+                             + 2 * 8192) + 8192 * cfg.hidden_size) * L / 1e9
+    print(f"llama megastep 3B: {per*1e3:.3f} ms/step "
+          f"({gb/per:.0f} GB/s codes, {0.012190/per:.2f}x RT)", flush=True)
+
+
 if __name__ == "__main__":
     print("platform:", jax.devices()[0].platform, flush=True)
     check_small()
     check_batched()
+    check_llama_small()
     perf_full()
     perf_batched()
+    perf_llama()

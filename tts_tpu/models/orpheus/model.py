@@ -204,15 +204,39 @@ def orpheus_generate_tokens(cfg: OrpheusConfig, w: OrpheusWeights, first_token,
     return st.out_tokens, st.n_out
 
 
+def maybe_prep_llama_mega(cfg: OrpheusConfig, w: OrpheusWeights):
+    """(LlamaMegaLayers, qtype) when the fused llama decode kernel applies
+    (TPU, uniformly quantized projections, kernel-friendly dims), else
+    (None, None) -> the per-matmul path. Same gating pattern as Parler's
+    maybe_prep_mega."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    import os
+    force = os.environ.get("TTS_TPU_MEGAKERNEL")
+    if force == "0" or (not on_tpu and force != "1"):
+        return None, None
+    if cfg.hidden_size % 128 or cfg.head_size % 64:
+        return None, None
+    try:
+        from ...ops.llama_megastep import prep_llama_mega
+        return prep_llama_mega(w.layers)
+    except ValueError:
+        return None, None
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "max_steps",
                                              "do_sample", "temperature",
                                              "top_k", "top_p",
-                                             "repetition_penalty"))
+                                             "repetition_penalty",
+                                             "mega_qtype"))
 def orpheus_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
                          st: OrpheusState, *, n_steps: int, max_steps: int,
                          do_sample: bool = True, temperature: float = 1.0,
                          top_k: int = 0, top_p: float = 1.0,
-                         repetition_penalty: float = 1.0):
+                         repetition_penalty: float = 1.0,
+                         mega=None, mega_qtype=None):
     """n_steps decode steps as lax.scan with masked updates when done."""
     ctx = st.kv_k.shape[-2]
     j = jnp.arange(ctx)[None, :]
@@ -220,9 +244,24 @@ def orpheus_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
     def step(st: OrpheusState, _):
         now_done = st.done | (st.n_out >= max_steps)
         x = take_rows(w.embd, st.token_in[None])
-        bias = jnp.where(j <= st.pos, 0.0, -jnp.inf)
-        h, kv_k2, kv_v2 = _llama_step(cfg, w, x, st.pos[None], st.kv_k,
-                                      st.kv_v, st.pos, bias)
+        if mega is not None:
+            from ...ops.llama_megastep import llama_megastep
+            L, nkv, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_size
+            xo, kn, vn = llama_megastep(
+                mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
+                n_heads=cfg.n_attn_heads, n_kv=nkv,
+                rope_base=cfg.rope_theta, rope_freq_factors=w.rope_freqs)
+            kv_k2 = jax.lax.dynamic_update_slice(
+                st.kv_k, kn.reshape(L, nkv, 1, d).astype(st.kv_k.dtype),
+                (0, 0, st.pos, 0))
+            kv_v2 = jax.lax.dynamic_update_slice(
+                st.kv_v, vn.reshape(L, nkv, 1, d).astype(st.kv_v.dtype),
+                (0, 0, st.pos, 0))
+            h = _rms(xo, w.out_norm)
+        else:
+            bias = jnp.where(j <= st.pos, 0.0, -jnp.inf)
+            h, kv_k2, kv_v2 = _llama_step(cfg, w, x, st.pos[None], st.kv_k,
+                                          st.kv_v, st.pos, bias)
         logits = matmul(h, w.head)
         key, sub = jax.random.split(st.key)
         toks, s_state = sampling.sample_or_greedy(
@@ -321,6 +360,7 @@ class OrpheusRunner(TTSRunner):
         self.tokenizer = tokenizer
         self.snac = snac_runner
         self.prompt_buckets = prompt_buckets
+        self._mega, self._mega_qtype = maybe_prep_llama_mega(cfg, weights)
 
     def list_voices(self):
         return list(ORPHEUS_VOICES)
@@ -365,7 +405,8 @@ class OrpheusRunner(TTSRunner):
             max_steps=cfg.max_generation_size, do_sample=config.sample,
             temperature=float(config.temperature), top_k=int(config.top_k),
             top_p=float(config.top_p),
-            repetition_penalty=float(config.repetition_penalty))
+            repetition_penalty=float(config.repetition_penalty),
+            mega=self._mega, mega_qtype=self._mega_qtype)
         heads = prepare_output_tokens(np.asarray(out), int(n_out))
         if self.snac is None or not heads[2]:
             return TTSResponse(np.zeros(0, np.float32), SAMPLE_RATE_SNAC)
@@ -435,6 +476,8 @@ class OrpheusRunner(TTSRunner):
         n = 1
         while True:
             st = orpheus_decode_chunk(cfg, self.weights, st, n_steps=chunk,
+                                      mega=self._mega,
+                                      mega_qtype=self._mega_qtype,
                                       max_steps=max_steps, **gen_kw)
             n += chunk
             done = bool(np.asarray(st.done)) or n >= max_steps + chunk

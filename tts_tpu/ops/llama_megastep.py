@@ -1,0 +1,343 @@
+"""Whole-transformer llama decode megastep — ONE Pallas kernel for all L
+layers of a llama-family decoder (Orpheus 3B: GQA 24q/8kv, RMS norm, NeoX
+RoPE with llama3 freq factors, SiLU-gated MLP).
+
+Same design as ops/parler_megastep (see its header for the bandwidth
+argument): the whole layer stack runs in one pallas_call so the weight DMA
+of layer l+1 overlaps layer l's compute, weights cross HBM quantized and are
+dequantized to bf16 in VMEM registers per tile (_dqdot), and the activation
+row rides in VMEM scratch broadcast over the 8 f32 sublanes.
+
+Llama twist: a 3B layer's weights (~100 MB quantized) exceed VMEM, so the
+grid is (L, P) with phase 0 = attention (qkv + o resident, ~25 MB) and
+phases 1..P-1 = FFN chunks (gate/up (H, FC) + down (FC, H) slices stream per
+phase); the FFN down-projection partials accumulate into the residual
+scratch. Replaces the reference's per-matmul graph walk
+(src/models/orpheus/model.cpp:389-405, hot loop generate_from_batch).
+
+RoPE is applied in-kernel from the prefetched position scalar and a
+precomputed inverse-frequency row (freq factors folded in, matching
+ops/attention.rope_freqs: reference orpheus/model.cpp:274-277).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .parler_megastep import _BIAS, _dqdot, _qdot_ref
+
+
+class LlamaMegaLayers(NamedTuple):
+    """Stacked per-layer weights in megakernel layout.
+
+    codes transposed-planar int8 (K, N); scales f32 (K//32, N).
+    qkv = concat(q, k, v) on N; norms packs (in_norm, post_norm).
+    """
+
+    qkv_codes: Any    # (L, H, H + 2*KV) i8
+    qkv_scales: Any   # (L, H//32, H + 2*KV) f32
+    o_codes: Any      # (L, H, H) i8
+    o_scales: Any
+    gate_codes: Any   # (L, H, F) i8
+    gate_scales: Any
+    up_codes: Any     # (L, H, F) i8
+    up_scales: Any
+    down_codes: Any   # (L, F, H) i8
+    down_scales: Any  # (L, F//32, H)
+    norms: Any        # (L, 2, H) f32
+
+
+def prep_llama_mega(layers) -> tuple[LlamaMegaLayers, int]:
+    """Build LlamaMegaLayers from a stacked OrpheusLayer whose projections
+    are QuantTensors of one shared qtype; ValueError otherwise (caller falls
+    back to the per-matmul path)."""
+    from .quant_matmul import QuantTensor
+
+    mats = dict(q=layers.q, k=layers.k, v=layers.v, o=layers.o,
+                gate=layers.gate, up=layers.up, down=layers.down)
+    if not all(isinstance(m, QuantTensor) for m in mats.values()):
+        raise ValueError("llama megastep needs all projections quantized")
+    qtypes = {m.qtype for m in mats.values()}
+    if len(qtypes) != 1 or next(iter(qtypes)) not in _BIAS:
+        raise ValueError(f"llama megastep needs one uniform qtype, got {qtypes}")
+    qtype = next(iter(qtypes))
+
+    qkv_c = jnp.concatenate([mats["q"].codes_t, mats["k"].codes_t,
+                             mats["v"].codes_t], axis=-1)
+    qkv_s = jnp.concatenate(
+        [mats["q"].scales_t, mats["k"].scales_t, mats["v"].scales_t],
+        axis=-1).astype(jnp.float32)
+    norms = jnp.stack([layers.in_norm, layers.post_norm], axis=1)
+    mega = LlamaMegaLayers(
+        qkv_codes=qkv_c.astype(jnp.int8), qkv_scales=qkv_s,
+        o_codes=mats["o"].codes_t.astype(jnp.int8),
+        o_scales=mats["o"].scales_t.astype(jnp.float32),
+        gate_codes=mats["gate"].codes_t.astype(jnp.int8),
+        gate_scales=mats["gate"].scales_t.astype(jnp.float32),
+        up_codes=mats["up"].codes_t.astype(jnp.int8),
+        up_scales=mats["up"].scales_t.astype(jnp.float32),
+        down_codes=mats["down"].codes_t.astype(jnp.int8),
+        down_scales=mats["down"].scales_t.astype(jnp.float32),
+        norms=norms.astype(jnp.float32),
+    )
+    return mega, qtype
+
+
+def _rms(x, w, eps=1e-5):
+    ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(ms + eps) * w
+
+
+def _rope_rows(x, cos, sin, n_heads, d):
+    """NeoX rotation per head on (8, n_heads*d) rows; cos/sin (8, d//2)."""
+    h2 = d // 2
+    outs = []
+    for h in range(n_heads):
+        x1 = x[:, h * d:h * d + h2]
+        x2 = x[:, h * d + h2:(h + 1) * d]
+        outs.append(jnp.concatenate(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=1))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _llama_kernel(pos_ref, x_ref, inv_ref, qkv_c, qkv_s, o_c, o_s,
+                  g_c, g_s, u_c, u_s, d_c, d_s, norms, kc_ref, vc_ref,
+                  x_out, k_out, v_out, x_scr, h_scr,
+                  *, n_layers, n_phases, n_heads, n_kv, hidden, head_d,
+                  bias):
+    l = pl.program_id(0)
+    p = pl.program_id(1)
+    scale = 1.0 / np.sqrt(head_d)
+    pos = pos_ref[0]
+    kv_h = n_kv * head_d
+    g = n_heads // n_kv
+
+    @pl.when(p == 0)
+    def _():
+        @pl.when(l == 0)
+        def _():
+            x_scr[:] = x_ref[:]
+
+        nm = norms[0]
+        x = x_scr[:]                                          # (8, H)
+        h1 = _rms(x, nm[0:1])
+        qkv = _dqdot(h1, qkv_c[0], qkv_s[0], bias)            # (8, H+2KV)
+        ang = pos.astype(jnp.float32) * inv_ref[:]            # (1, d/2)
+        cos = jnp.broadcast_to(jnp.cos(ang), (8, head_d // 2))
+        sin = jnp.broadcast_to(jnp.sin(ang), (8, head_d // 2))
+        q = _rope_rows(qkv[:, :hidden], cos, sin, n_heads, head_d)
+        k = _rope_rows(qkv[:, hidden:hidden + kv_h], cos, sin, n_kv, head_d)
+        v = qkv[:, hidden + kv_h:]
+        k_out[0] = k
+        v_out[0] = v
+        # GQA attention over the bf16 cache + the current token (analytic
+        # softmax fold; cache row write happens outside in XLA)
+        outs = []
+        for h in range(n_kv):
+            kh = kc_ref[0, h].astype(jnp.float32)             # (CTX, D)
+            vh = vc_ref[0, h].astype(jnp.float32)
+            kcur = k[:, h * head_d:(h + 1) * head_d]          # (8, D)
+            vcur = v[:, h * head_d:(h + 1) * head_d]
+            for gi in range(g):
+                qh = q[:, (h * g + gi) * head_d:
+                       (h * g + gi + 1) * head_d] * scale     # (8, D)
+                s = jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (8, CTX)
+                t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(t < pos, s, -jnp.inf)
+                s_cur = jnp.sum(qh * kcur, axis=1, keepdims=True)
+                m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_cur)
+                ph = jnp.exp(s - m)
+                pc = jnp.exp(s_cur - m)
+                denom = jnp.sum(ph, axis=1, keepdims=True) + pc
+                av = jax.lax.dot_general(
+                    ph, vh, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                outs.append((av + pc * vcur) / denom)
+        attn = jnp.concatenate(outs, axis=1)                  # (8, H)
+        o = _dqdot(attn, o_c[0], o_s[0], bias)
+        x = x + o
+        x_scr[:] = x
+        h_scr[:] = _rms(x, nm[1:2])
+
+    @pl.when(p > 0)
+    def _():
+        h2 = h_scr[:]
+        gate = _dqdot(h2, g_c[0], g_s[0], bias)               # (8, FC)
+        up = _dqdot(h2, u_c[0], u_s[0], bias)
+        a = jax.nn.silu(gate) * up
+        down = _dqdot(a, d_c[0], d_s[0], bias)                # (8, H)
+        x_scr[:] = x_scr[:] + down
+
+        @pl.when((l == n_layers - 1) & (p == n_phases - 1))
+        def _():
+            x_out[:] = x_scr[:]
+
+
+def llama_megastep(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *, qtype: int,
+                   n_heads: int, n_kv: int, rope_base: float,
+                   rope_freq_factors=None, fc: int = 2048):
+    """x (1, H) f32; kv_k/kv_v (L, n_kv, CTX, D) bf16/f32; pos = cache row.
+
+    Returns (x_out (1, H) pre-final-RMS-norm, k_new (L, KV), v_new (L, KV));
+    the caller writes the k/v rows at `pos` and applies final norm + LM
+    head. Dispatches to the XLA reference off-TPU.
+    """
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu:
+        return llama_megastep_reference(
+            mega, x, kv_k, kv_v, pos, qtype=qtype, n_heads=n_heads,
+            n_kv=n_kv, rope_base=rope_base,
+            rope_freq_factors=rope_freq_factors)
+    return _llama_megastep_tpu(
+        mega, x, kv_k, kv_v, pos, qtype=qtype, n_heads=n_heads, n_kv=n_kv,
+        rope_base=rope_base, rope_freq_factors=rope_freq_factors, fc=fc)
+
+
+def _inv_freq_row(d, base, freq_factors):
+    from .attention import rope_freqs
+    return rope_freqs(d, base, freq_factors).reshape(1, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("qtype", "n_heads", "n_kv",
+                                             "rope_base", "fc"))
+def _llama_megastep_tpu(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *,
+                        qtype: int, n_heads: int, n_kv: int,
+                        rope_base: float, rope_freq_factors, fc: int):
+    L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
+    f = mega.gate_codes.shape[2]
+    kvh, ctx, d = kv_k.shape[1], kv_k.shape[2], kv_k.shape[3]
+    head_d = hidden // n_heads
+    fc = min(fc, f)
+    n_ph = 1 + f // fc
+    inv = _inv_freq_row(head_d, rope_base, rope_freq_factors)
+    x8 = jnp.broadcast_to(x.astype(jnp.float32), (8, hidden))
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    kv_n = hidden + 2 * n_kv * head_d
+
+    def at_l(l, p, s):
+        return (l, 0, 0)
+
+    def at_l4(l, p, s):
+        return (l, 0, 0, 0)
+
+    def ffn_hk(l, p, s):
+        return (l, 0, jnp.maximum(p - 1, 0))
+
+    def ffn_kh(l, p, s):
+        return (l, jnp.maximum(p - 1, 0), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, n_ph),
+        in_specs=[
+            pl.BlockSpec((8, hidden), lambda l, p, s: (0, 0)),
+            pl.BlockSpec((1, head_d // 2), lambda l, p, s: (0, 0)),
+            pl.BlockSpec((1, hidden, kv_n), at_l),
+            pl.BlockSpec((1, hidden // 32, kv_n), at_l),
+            pl.BlockSpec((1, hidden, hidden), at_l),
+            pl.BlockSpec((1, hidden // 32, hidden), at_l),
+            pl.BlockSpec((1, hidden, fc), ffn_hk),
+            pl.BlockSpec((1, hidden // 32, fc), ffn_hk),
+            pl.BlockSpec((1, hidden, fc), ffn_hk),
+            pl.BlockSpec((1, hidden // 32, fc), ffn_hk),
+            pl.BlockSpec((1, fc, hidden), ffn_kh),
+            pl.BlockSpec((1, fc // 32, hidden), ffn_kh),
+            pl.BlockSpec((1, 2, hidden), at_l),
+            pl.BlockSpec((1, kvh, ctx, d), at_l4),
+            pl.BlockSpec((1, kvh, ctx, d), at_l4),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, hidden), lambda l, p, s: (0, 0)),
+            pl.BlockSpec((1, 8, kvh * d), at_l),
+            pl.BlockSpec((1, 8, kvh * d), at_l),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, hidden), jnp.float32),
+                        pltpu.VMEM((8, hidden), jnp.float32)],
+    )
+    x_out, k_new, v_new = pl.pallas_call(
+        functools.partial(_llama_kernel, n_layers=L, n_phases=n_ph,
+                          n_heads=n_heads, n_kv=n_kv, hidden=hidden,
+                          head_d=head_d, bias=_BIAS[qtype]),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8, kvh * d), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8, kvh * d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(pos_arr, x8, inv, mega.qkv_codes, mega.qkv_scales, mega.o_codes,
+      mega.o_scales, mega.gate_codes, mega.gate_scales, mega.up_codes,
+      mega.up_scales, mega.down_codes, mega.down_scales, mega.norms,
+      kv_k, kv_v)
+    return x_out[:1], k_new[:, 0, :], v_new[:, 0, :]
+
+
+def llama_megastep_reference(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *,
+                             qtype: int, n_heads: int, n_kv: int,
+                             rope_base: float, rope_freq_factors=None):
+    """Pure-XLA mirror of llama_megastep (same bf16 block-dequant math)."""
+    L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
+    head_d = hidden // n_heads
+    g = n_heads // n_kv
+    kv_h = n_kv * head_d
+    scale = 1.0 / np.sqrt(head_d)
+    bias = _BIAS[qtype]
+    inv = _inv_freq_row(head_d, rope_base, rope_freq_factors)
+    ang = jnp.asarray(pos, jnp.float32) * inv                 # (1, d/2)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x = x.astype(jnp.float32)
+
+    def rope(y, nh):
+        y = y.reshape(nh, head_d)
+        y1, y2 = y[:, :head_d // 2], y[:, head_d // 2:]
+        return jnp.concatenate([y1 * cos - y2 * sin, y2 * cos + y1 * sin],
+                               axis=1).reshape(1, nh * head_d)
+
+    def layer(carry, inp):
+        xx = carry
+        (qkv_c, qkv_s, o_c, o_s, g_c, g_s, u_c, u_s, d_c, d_s, nm,
+         kc, vc) = inp
+        h1 = _rms(xx, nm[0][None, :])
+        qkv = _qdot_ref(h1, qkv_c, qkv_s, bias)
+        q = rope(qkv[:, :hidden], n_heads)
+        k = rope(qkv[:, hidden:hidden + kv_h], n_kv)
+        v = qkv[:, hidden + kv_h:]
+        qh = q.reshape(n_kv, g, 1, head_d) * scale
+        kh = kc.astype(jnp.float32)                           # (n_kv, CTX, D)
+        s = jnp.einsum("hgqd,htd->hgqt", qh, kh)
+        t = jnp.arange(kc.shape[1])
+        s = jnp.where(t[None, None, None, :] < pos, s, -jnp.inf)
+        kcur = k.reshape(n_kv, 1, 1, head_d)
+        s_cur = jnp.sum(qh * kcur, axis=3, keepdims=True)
+        m = jnp.maximum(jnp.max(s, axis=3, keepdims=True), s_cur)
+        ph = jnp.exp(s - m)
+        pc = jnp.exp(s_cur - m)
+        denom = jnp.sum(ph, axis=3, keepdims=True) + pc
+        av = jnp.einsum("hgqt,htd->hgqd", ph, vc.astype(jnp.float32))
+        vcur = v.reshape(n_kv, 1, 1, head_d)
+        attn = ((av + pc * vcur) / denom).reshape(1, hidden)
+        xx = xx + _qdot_ref(attn, o_c, o_s, bias)
+        h2 = _rms(xx, nm[1][None, :])
+        gate = _qdot_ref(h2, g_c, g_s, bias)
+        up = _qdot_ref(h2, u_c, u_s, bias)
+        down = _qdot_ref(jax.nn.silu(gate) * up, d_c, d_s, bias)
+        xx = xx + down
+        return xx, (k[0], v[0])
+
+    xs = (mega.qkv_codes, mega.qkv_scales, mega.o_codes, mega.o_scales,
+          mega.gate_codes, mega.gate_scales, mega.up_codes, mega.up_scales,
+          mega.down_codes, mega.down_scales, mega.norms, kv_k, kv_v)
+    x_out, (k_new, v_new) = jax.lax.scan(layer, x, xs)
+    return x_out, k_new, v_new

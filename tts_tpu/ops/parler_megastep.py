@@ -131,18 +131,20 @@ def _dqdot(x, codes, scales, bias, *, kc=2048, nc=1024):
     nc = min(nc, n)
     outs = []
     for n0 in range(0, n, nc):
+        nn = min(nc, n - n0)
         acc = None
         for k0 in range(0, k, kc):
-            c = codes[k0:k0 + kc, n0:n0 + nc]
-            s = scales[k0 // QK:(k0 + kc) // QK, n0:n0 + nc]
+            kk = min(kc, k - k0)          # tail chunk when kc doesn't divide
+            c = codes[k0:k0 + kk, n0:n0 + nn]
+            s = scales[k0 // QK:(k0 + kk) // QK, n0:n0 + nn]
             cf = c.astype(jnp.int32).astype(jnp.float32)
             if bias:
                 cf = cf - bias
             srep = jax.lax.broadcast_in_dim(
-                s, (kc // QK, QK, nc), (0, 2)).reshape(kc, nc)
+                s, (kk // QK, QK, nn), (0, 2)).reshape(kk, nn)
             wf = (cf * srep).astype(jnp.bfloat16)
             part = jax.lax.dot_general(
-                x[:, k0:k0 + kc].astype(jnp.bfloat16), wf,
+                x[:, k0:k0 + kk].astype(jnp.bfloat16), wf,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc = part if acc is None else acc + part
