@@ -48,7 +48,8 @@ def build_q4_parler(rng, n_layers=24, hidden=1024, heads=16, ffn=4096,
         w = rng.standard_normal((n, k)).astype(np.float32) * 0.02
         raw = quants.quantize(w, quants.GGML_TYPE_Q4_0)
         codes, scales = quants.unpack_planar(raw, quants.GGML_TYPE_Q4_0, (n, k))
-        return QuantTensor.from_planar(codes, scales, quants.GGML_TYPE_Q4_0)
+        return QuantTensor.from_planar(
+            codes, scales, quants.GGML_TYPE_Q4_0).pack()
 
     def f32(*s, scale=0.02):
         return jnp.asarray(rng.standard_normal(s).astype(np.float32) * scale)
@@ -292,17 +293,18 @@ def build_dac_44k(rng):
 
 
 def _q4_dev(key, n, k, layers=None):
-    """Random Q4_0 QuantTensor generated ON DEVICE in device layout (no
-    host->device transfer of GB-scale codes; HBM traffic identical to a real
-    checkpoint)."""
+    """Random Q4_0 QuantTensor generated ON DEVICE in device layout —
+    nibble-packed (2 codes/byte along K), matching what the loaders/runners
+    hold after .pack(). No host->device transfer of GB-scale codes; HBM
+    traffic identical to a real packed checkpoint."""
     import jax
     import jax.numpy as jnp
     from tts_tpu.gguf import quants
     from tts_tpu.ops.quant_matmul import QuantTensor
     kc, ks = jax.random.split(key)
-    shp = (k, n) if layers is None else (layers, k, n)
+    shp = (k // 2, n) if layers is None else (layers, k // 2, n)
     sshp = (k // 32, n) if layers is None else (layers, k // 32, n)
-    codes = jax.random.randint(kc, shp, 0, 16, dtype=jnp.int8)
+    codes = jax.random.randint(kc, shp, -128, 128, dtype=jnp.int8)
     scales = jax.random.uniform(ks, sshp, jnp.float32, 0.001, 0.006)
     return QuantTensor(codes, scales, quants.GGML_TYPE_Q4_0)
 

@@ -522,6 +522,11 @@ class DiaRunner(TTSRunner):
         self.cfg = cfg
         self.weights = weights
         self.dac = dac_runner
+        from ...ops.quant_matmul import QuantTensor
+        if isinstance(self.weights.heads, QuantTensor):
+            # nibble-pack Q4 LM heads (exact) — halves head read per step
+            self.weights = self.weights._replace(
+                heads=self.weights.heads.pack())
 
     def generate_codes(self, text: str, config: GenerationConfig):
         cfg = self.cfg

@@ -360,7 +360,15 @@ class OrpheusRunner(TTSRunner):
         self.tokenizer = tokenizer
         self.snac = snac_runner
         self.prompt_buckets = prompt_buckets
-        self._mega, self._mega_qtype = maybe_prep_llama_mega(cfg, weights)
+        from ...ops.quant_matmul import QuantTensor
+        if isinstance(self.weights.head, QuantTensor):
+            # nibble-pack the Q4 LM head (exact): 157k x 3072 is ~480 MB of
+            # codes read per decode step unpacked — the single largest
+            # contributor to Orpheus step HBM traffic
+            self.weights = self.weights._replace(
+                head=self.weights.head.pack())
+        self._mega, self._mega_qtype = maybe_prep_llama_mega(
+            cfg, self.weights)
 
     def list_voices(self):
         return list(ORPHEUS_VOICES)

@@ -513,6 +513,11 @@ class ParlerRunner(TTSRunner):
         self.dac = dac_runner
         self.cross_kv_projs = cross_kv_projs  # (k_ws, v_ws) for re-encoding
         self.prompt_buckets = prompt_buckets
+        from ...ops.quant_matmul import QuantTensor
+        if isinstance(self.weights.heads, QuantTensor):
+            # nibble-pack Q4 LM heads (exact) — halves head read per step
+            self.weights = self.weights._replace(
+                heads=self.weights.heads.pack())
         self._mega, self._mega_qtype = maybe_prep_mega(self.cfg, self.weights)
 
     def update_conditional_prompt(self, file_path: str, prompt: str) -> None:

@@ -30,6 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..gguf import quants
 from .parler_megastep import _BIAS, _dqdot, _qdot_ref
 
 
@@ -86,6 +87,20 @@ def prep_llama_mega(layers) -> tuple[LlamaMegaLayers, int]:
         down_scales=mats["down"].scales_t.astype(jnp.float32),
         norms=norms.astype(jnp.float32),
     )
+    if (qtype == quants.GGML_TYPE_Q4_0
+            and mega.qkv_codes.shape[1] == mega.qkv_scales.shape[1] * 32):
+        # nibble-pack Q4 codes (2/byte along K): exact, halves code traffic
+        # (skipped when the QuantTensors arrived already packed; all-or-
+        # nothing so the kernel dispatch sees one uniform layout)
+        from .quant_matmul import can_pack, pack_codes_t
+        if can_pack(mega.qkv_codes.shape[1]) and \
+                can_pack(mega.down_codes.shape[1]):
+            mega = mega._replace(
+                qkv_codes=pack_codes_t(mega.qkv_codes),
+                o_codes=pack_codes_t(mega.o_codes),
+                gate_codes=pack_codes_t(mega.gate_codes),
+                up_codes=pack_codes_t(mega.up_codes),
+                down_codes=pack_codes_t(mega.down_codes))
     return mega, qtype
 
 
@@ -183,7 +198,7 @@ def _llama_kernel(pos_ref, x_ref, inv_ref, qkv_c, qkv_s, o_c, o_s,
 
 def llama_megastep(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *, qtype: int,
                    n_heads: int, n_kv: int, rope_base: float,
-                   rope_freq_factors=None, fc: int = 2048):
+                   rope_freq_factors=None, fc: int = 4096):
     """x (1, H) f32; kv_k/kv_v (L, n_kv, CTX, D) bf16/f32; pos = cache row.
 
     Returns (x_out (1, H) pre-final-RMS-norm, k_new (L, KV), v_new (L, KV));
@@ -214,11 +229,17 @@ def _inv_freq_row(d, base, freq_factors):
 def _llama_megastep_tpu(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *,
                         qtype: int, n_heads: int, n_kv: int,
                         rope_base: float, rope_freq_factors, fc: int):
-    L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
+    L = mega.qkv_codes.shape[0]
+    hidden = mega.qkv_scales.shape[1] * 32
     f = mega.gate_codes.shape[2]
+    pk = hidden // mega.qkv_codes.shape[1]  # 2 when nibble-packed, else 1
     kvh, ctx, d = kv_k.shape[1], kv_k.shape[2], kv_k.shape[3]
     head_d = hidden // n_heads
     fc = min(fc, f)
+    if pk == 2 and f > fc:
+        # streamed down-projection K-slices must contain whole pack blocks
+        from .quant_matmul import PACK_BLOCK
+        assert fc % PACK_BLOCK == 0, (fc, PACK_BLOCK)
     n_ph = 1 + f // fc
     inv = _inv_freq_row(head_d, rope_base, rope_freq_factors)
     x8 = jnp.broadcast_to(x.astype(jnp.float32), (8, hidden))
@@ -243,15 +264,15 @@ def _llama_megastep_tpu(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *,
         in_specs=[
             pl.BlockSpec((8, hidden), lambda l, p, s: (0, 0)),
             pl.BlockSpec((1, head_d // 2), lambda l, p, s: (0, 0)),
-            pl.BlockSpec((1, hidden, kv_n), at_l),
+            pl.BlockSpec((1, hidden // pk, kv_n), at_l),
             pl.BlockSpec((1, hidden // 32, kv_n), at_l),
-            pl.BlockSpec((1, hidden, hidden), at_l),
+            pl.BlockSpec((1, hidden // pk, hidden), at_l),
             pl.BlockSpec((1, hidden // 32, hidden), at_l),
-            pl.BlockSpec((1, hidden, fc), ffn_hk),
+            pl.BlockSpec((1, hidden // pk, fc), ffn_hk),
             pl.BlockSpec((1, hidden // 32, fc), ffn_hk),
-            pl.BlockSpec((1, hidden, fc), ffn_hk),
+            pl.BlockSpec((1, hidden // pk, fc), ffn_hk),
             pl.BlockSpec((1, hidden // 32, fc), ffn_hk),
-            pl.BlockSpec((1, fc, hidden), ffn_kh),
+            pl.BlockSpec((1, fc // pk, hidden), ffn_kh),
             pl.BlockSpec((1, fc // 32, hidden), ffn_kh),
             pl.BlockSpec((1, 2, hidden), at_l),
             pl.BlockSpec((1, kvh, ctx, d), at_l4),
@@ -288,7 +309,8 @@ def llama_megastep_reference(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *,
                              qtype: int, n_heads: int, n_kv: int,
                              rope_base: float, rope_freq_factors=None):
     """Pure-XLA mirror of llama_megastep (same bf16 block-dequant math)."""
-    L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
+    L = mega.qkv_codes.shape[0]
+    hidden = mega.qkv_scales.shape[1] * 32
     head_d = hidden // n_heads
     g = n_heads // n_kv
     kv_h = n_kv * head_d

@@ -103,6 +103,19 @@ def prep_mega_layers(layers) -> tuple[MegaLayers, int]:
         cross_k=layers.cross_k.astype(jnp.float32),
         cross_v=layers.cross_v.astype(jnp.float32),
     )
+    if (qtype == quants.GGML_TYPE_Q4_0
+            and mega.qkv_codes.shape[1] == mega.qkv_scales.shape[1] * QK):
+        # nibble-pack Q4 codes (2/byte along K): exact, halves code traffic
+        # (skipped when the QuantTensors arrived already packed; all-or-
+        # nothing so the kernel dispatch sees one uniform layout)
+        from .quant_matmul import can_pack, pack_codes_t
+        if can_pack(mega.qkv_codes.shape[1]) and \
+                can_pack(mega.fc2_codes.shape[1]):
+            mega = mega._replace(
+                qkv_codes=pack_codes_t(mega.qkv_codes),
+                occ_codes=pack_codes_t(mega.occ_codes),
+                fc1_codes=pack_codes_t(mega.fc1_codes),
+                fc2_codes=pack_codes_t(mega.fc2_codes))
     return mega, qtype
 
 
@@ -125,29 +138,53 @@ def _dqdot(x, codes, scales, bias, *, kc=2048, nc=1024):
     run one dense MXU matmul with f32 accumulation. Tiling bounds the f32
     temporaries to ~kc*nc*4 bytes so the whole-projection dequant never
     spills VMEM.
+
+    Codes may be nibble-packed ((K//2, N), block half-split: within each
+    PACK_BLOCK rows, byte row r = logical rows r and r + block/2 — detected
+    from the scales shape): each packed block then contributes two plain
+    (no interleave) dequant-matmuls against the matching x lanes, which
+    measured ~2x faster than any in-register nibble-interleave formulation
+    (tools/probe_unpack.py).
     """
-    k, n = codes.shape
-    kc = min(kc, k)
+    from .quant_matmul import PACK_BLOCK
+    n = codes.shape[1]
+    k = scales.shape[0] * QK
+    packed = codes.shape[0] != k
     nc = min(nc, n)
+
+    def dq_dot(cval, base, rr, n0, nn):
+        """One dense dequant dot: int32 codes chunk (rr, nn) at logical K
+        offset `base` x the matching x lanes."""
+        s = scales[base // QK:(base + rr) // QK, n0:n0 + nn]
+        cf = cval.astype(jnp.float32)
+        if bias:
+            cf = cf - bias
+        srep = jax.lax.broadcast_in_dim(
+            s, (rr // QK, QK, nn), (0, 2)).reshape(rr, nn)
+        wf = (cf * srep).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            x[:, base:base + rr].astype(jnp.bfloat16), wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     outs = []
     for n0 in range(0, n, nc):
         nn = min(nc, n - n0)
         acc = None
-        for k0 in range(0, k, kc):
-            kk = min(kc, k - k0)          # tail chunk when kc doesn't divide
-            c = codes[k0:k0 + kk, n0:n0 + nn]
-            s = scales[k0 // QK:(k0 + kk) // QK, n0:n0 + nn]
-            cf = c.astype(jnp.int32).astype(jnp.float32)
-            if bias:
-                cf = cf - bias
-            srep = jax.lax.broadcast_in_dim(
-                s, (kk // QK, QK, nn), (0, 2)).reshape(kk, nn)
-            wf = (cf * srep).astype(jnp.bfloat16)
-            part = jax.lax.dot_general(
-                x[:, k0:k0 + kk].astype(jnp.bfloat16), wf,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
+        if packed:
+            for b0 in range(0, k, PACK_BLOCK):
+                h = min(PACK_BLOCK, k - b0) // 2
+                ci = codes[b0 // 2:b0 // 2 + h, n0:n0 + nn].astype(jnp.int32)
+                for half, cval in ((0, ci & 15), (1, (ci >> 4) & 15)):
+                    part = dq_dot(cval, b0 + half * h, h, n0, nn)
+                    acc = part if acc is None else acc + part
+        else:
+            kcc = min(kc, k)
+            for k0 in range(0, k, kcc):
+                kk = min(kcc, k - k0)     # tail when kc doesn't divide
+                ci = codes[k0:k0 + kk, n0:n0 + nn].astype(jnp.int32)
+                part = dq_dot(ci, k0, kk, n0, nn)
+                acc = part if acc is None else acc + part
         outs.append(acc)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
@@ -280,8 +317,11 @@ def parler_megastep(mega: MegaLayers, x, kv_k, kv_v, pos, *, qtype: int,
 @functools.partial(jax.jit, static_argnames=("qtype", "use_cross", "n_heads"))
 def _parler_megastep_tpu(mega: MegaLayers, x, kv_k, kv_v, pos, *, qtype: int,
                          use_cross: bool, n_heads: int):
-    L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
+    L = mega.qkv_codes.shape[0]
+    hidden = mega.qkv_scales.shape[1] * QK
     f = mega.fc1_codes.shape[2]
+    h_kc = mega.qkv_codes.shape[1]      # hidden, or hidden//2 nibble-packed
+    f_kc = mega.fc2_codes.shape[1]      # f, or f//2 nibble-packed
     heads, ctx, d = kv_k.shape[1], kv_k.shape[2], kv_k.shape[3]
     tc = mega.cross_k.shape[2]
     x8 = jnp.broadcast_to(x.astype(jnp.float32), (8, hidden))
@@ -298,13 +338,13 @@ def _parler_megastep_tpu(mega: MegaLayers, x, kv_k, kv_v, pos, *, qtype: int,
         grid=(L,),
         in_specs=[
             pl.BlockSpec((8, hidden), lambda i, p: (0, 0)),
-            pl.BlockSpec((1, hidden, 3 * hidden), at_l),
+            pl.BlockSpec((1, h_kc, 3 * hidden), at_l),
             pl.BlockSpec((1, hidden // QK, 3 * hidden), at_l),
-            pl.BlockSpec((1, hidden, 3 * hidden), at_l),
+            pl.BlockSpec((1, h_kc, 3 * hidden), at_l),
             pl.BlockSpec((1, hidden // QK, 3 * hidden), at_l),
-            pl.BlockSpec((1, hidden, f), at_l),
+            pl.BlockSpec((1, h_kc, f), at_l),
             pl.BlockSpec((1, hidden // QK, f), at_l),
-            pl.BlockSpec((1, f, hidden), at_l),
+            pl.BlockSpec((1, f_kc, hidden), at_l),
             pl.BlockSpec((1, f // QK, hidden), at_l),
             pl.BlockSpec((1, 6, hidden), at_l),
             pl.BlockSpec((1, heads, tc, d), at_l4),
@@ -480,8 +520,11 @@ def parler_megastep_batched(mega: MegaLayers, x, kv_k, kv_v, pos, *,
 def _parler_megastep_batched_tpu(mega: MegaLayers, x, kv_k, kv_v, pos, *,
                                  qtype: int, use_cross: bool, n_heads: int,
                                  page: int):
-    L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
+    L = mega.qkv_codes.shape[0]
+    hidden = mega.qkv_scales.shape[1] * QK
     f = mega.fc1_codes.shape[2]
+    h_kc = mega.qkv_codes.shape[1]      # hidden, or hidden//2 nibble-packed
+    f_kc = mega.fc2_codes.shape[1]      # f, or f//2 nibble-packed
     b, heads, ctx, d = kv_k.shape[1], kv_k.shape[2], kv_k.shape[3], \
         kv_k.shape[4]
     tc = mega.cross_k.shape[2]
@@ -510,13 +553,13 @@ def _parler_megastep_batched_tpu(mega: MegaLayers, x, kv_k, kv_v, pos, *,
         in_specs=[
             pl.BlockSpec((b * heads, 1), lambda i, p, mp: (0, 0)),
             pl.BlockSpec((b, hidden), lambda i, p, mp: (0, 0)),
-            pl.BlockSpec((1, hidden, 3 * hidden), at_l),
+            pl.BlockSpec((1, h_kc, 3 * hidden), at_l),
             pl.BlockSpec((1, hidden // QK, 3 * hidden), at_l),
-            pl.BlockSpec((1, hidden, 3 * hidden), at_l),
+            pl.BlockSpec((1, h_kc, 3 * hidden), at_l),
             pl.BlockSpec((1, hidden // QK, 3 * hidden), at_l),
-            pl.BlockSpec((1, hidden, f), at_l),
+            pl.BlockSpec((1, h_kc, f), at_l),
             pl.BlockSpec((1, hidden // QK, f), at_l),
-            pl.BlockSpec((1, f, hidden), at_l),
+            pl.BlockSpec((1, f_kc, hidden), at_l),
             pl.BlockSpec((1, f // QK, hidden), at_l),
             pl.BlockSpec((1, 6, hidden), at_l),
             pl.BlockSpec((1, heads, tc, d), at_l4),
@@ -585,9 +628,14 @@ def parler_megastep_batched_reference(mega: MegaLayers, x, kv_k, kv_v, pos,
 def _qdot_ref(h_row, codes, scales, bias):
     """h_row (B, K) f32 -> (B, N): same dequant math as the kernel's _dqdot
     (block dequant to bf16, bf16 activations, f32 accumulation) in plain XLA.
-    Accumulation order may differ from the MXU by float-rounding ULPs."""
+    Accumulation order may differ from the MXU by float-rounding ULPs.
+    Accepts nibble-packed codes (exact unpack, same values)."""
+    from .quant_matmul import unpack_codes_t
     k = h_row.shape[1]
-    cf = codes.astype(jnp.float32)                                # (K, N)
+    if codes.shape[0] != k:
+        cf = unpack_codes_t(codes, k).astype(jnp.float32)
+    else:
+        cf = codes.astype(jnp.float32)                            # (K, N)
     if bias:
         cf = cf - bias
     srep = jnp.repeat(scales, QK, axis=0, total_repeat_length=k)  # (K, N)
@@ -601,7 +649,8 @@ def _qdot_ref(h_row, codes, scales, bias):
 def parler_megastep_reference(mega: MegaLayers, x, kv_k, kv_v, pos, *,
                               qtype: int, use_cross: bool, n_heads: int):
     """Pure-XLA mirror of parler_megastep (same bf16 block-dequant math)."""
-    L, hidden = mega.qkv_codes.shape[0], mega.qkv_codes.shape[1]
+    L = mega.qkv_codes.shape[0]
+    hidden = mega.qkv_scales.shape[1] * QK
     d = hidden // n_heads
     scale = 1.0 / np.sqrt(d)
     bias = _BIAS[qtype]

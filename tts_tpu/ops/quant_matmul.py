@@ -45,12 +45,77 @@ def _expand_scales_t(s_t: jax.Array, k: int) -> jax.Array:
     return jax.lax.broadcast_in_dim(s_t, (nsb, QK, n), (0, 2)).reshape(k, n)
 
 
+# ---------------------------------------------------------------------------
+# Q4_0 nibble packing: two 4-bit codes per byte along the sublane (K) dim,
+# BLOCK HALF-SPLIT layout — K is cut into PACK_BLOCK-row blocks; within each
+# block, byte row r holds logical row r in the low nibble and logical row
+# r + block/2 in the high nibble. Halves weight HBM traffic in the decode
+# hot loops (codes go from 1 byte to 0.5 bytes/weight; the reference stores
+# Q4_0 packed too, ggml-quants block_q4_0.qs — its in-block x[i]/x[i+16]
+# split is the same idea at 32-granularity). Half-split is chosen over
+# adjacent-pair interleave because unpack is then two masks + two plain MXU
+# dots with NO sublane interleave — measured ~2x faster in-kernel than
+# broadcast+variable-shift or concat-interleave (tools/probe_unpack.py).
+# The fixed block size keeps kernels that stream K-slices of a weight (the
+# llama megastep FFN phases) self-consistent: any K-slice that is a
+# multiple of PACK_BLOCK contains whole blocks. Packing is EXACT (pure bit
+# rearrangement), so all parity tests hold unchanged.
+# ---------------------------------------------------------------------------
+
+PACK_BLOCK = 2048
+
+
+def can_pack(k: int) -> bool:
+    """Packable iff every block half stays 32-aligned for scale slicing."""
+    return k % 64 == 0 and (k % PACK_BLOCK) % 64 == 0
+
+
+def pack_codes_t(codes_t: jax.Array) -> jax.Array:
+    """(..., K, N) int8 Q4 codes (values 0..15) -> (..., K//2, N) int8,
+    block half-split (see module comment)."""
+    k = codes_t.shape[-2]
+    c = codes_t.astype(jnp.uint8)
+    outs = []
+    for b0 in range(0, k, PACK_BLOCK):
+        bb = min(PACK_BLOCK, k - b0)
+        h = bb // 2
+        blk = c[..., b0:b0 + bb, :]
+        outs.append((blk[..., h:, :] << 4) | blk[..., :h, :])
+    packed = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-2)
+    return jax.lax.bitcast_convert_type(packed, jnp.int8)
+
+
+def unpack_codes_t(codes_t: jax.Array, k: int) -> jax.Array:
+    """(..., K//2, N) block-half-split nibbles -> (..., K, N) int32 codes.
+
+    Sign-extension-safe: for int8 bytes, `(c >> 4) & 15` under arithmetic
+    shift still yields the high nibble, and `c & 15` the low one."""
+    ci = codes_t.astype(jnp.int32)
+    outs = []
+    for b0 in range(0, k, PACK_BLOCK):
+        bb = min(PACK_BLOCK, k - b0)
+        h = bb // 2
+        blk = ci[..., b0 // 2:(b0 + bb) // 2, :]
+        outs += [blk & 15, (blk >> 4) & 15]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-2)
+
+
+def is_packed(codes_t, scales_t) -> bool:
+    """True iff codes are nibble-packed (half the K rows of the scales)."""
+    return codes_t.shape[-2] * 2 == scales_t.shape[-2] * QK
+
+
 def dequant_t(codes_t: jax.Array, scales_t: jax.Array, qtype: int,
               dtype=jnp.float32) -> jax.Array:
-    """Transposed planar -> dense W^T (K, N). XLA path / golden reference."""
+    """Transposed planar -> dense W^T (K, N). XLA path / golden reference.
+    Accepts nibble-packed Q4_0 codes transparently."""
     bias = _BIAS[qtype]
-    vals = codes_t.astype(jnp.int32).astype(jnp.float32) - bias
-    sk = _expand_scales_t(scales_t.astype(jnp.float32), codes_t.shape[0])
+    k = scales_t.shape[-2] * QK
+    if codes_t.shape[-2] != k:
+        vals = unpack_codes_t(codes_t, k).astype(jnp.float32) - bias
+    else:
+        vals = codes_t.astype(jnp.int32).astype(jnp.float32) - bias
+    sk = _expand_scales_t(scales_t.astype(jnp.float32), k)
     return (vals * sk).astype(dtype)
 
 
@@ -66,12 +131,22 @@ def quant_matmul_xla(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _qmm_kernel(x_ref, c_ref, s_ref, o_ref, *, bias: float):
+def _qmm_kernel(x_ref, c_ref, s_ref, o_ref, *, bias: float, packed: bool):
     """Grid (N//TN,): dequantize one (K, TN) weight tile in registers, feed
     the MXU. Full K per tile — the supported models' K (<= 8192) fits VMEM,
     avoiding K-tiling and lane-misaligned scale slicing entirely."""
     # (Mosaic can't cast u8/i8 -> f32 directly; hop through i32.)
-    codes = c_ref[:].astype(jnp.int32).astype(jnp.float32) - bias  # (K, TN)
+    if packed:
+        ci = c_ref[:].astype(jnp.int32)
+        k = s_ref.shape[0] * QK
+        parts = []
+        for b0 in range(0, k, PACK_BLOCK):      # block half-split layout
+            h = min(PACK_BLOCK, k - b0) // 2
+            blk = ci[b0 // 2:b0 // 2 + h]
+            parts += [blk & 15, (blk >> 4) & 15]
+        codes = jnp.concatenate(parts, axis=0).astype(jnp.float32) - bias
+    else:
+        codes = c_ref[:].astype(jnp.int32).astype(jnp.float32) - bias
     k, tn = codes.shape
     sk = _expand_scales_t(s_ref[:].astype(jnp.float32), k)         # (K, TN)
     wt = codes * sk
@@ -104,19 +179,21 @@ def quant_matmul_pallas(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
         return quant_matmul_xla(x, codes_t, scales_t, qtype)
     m_pad = max(8, ((m + 7) // 8) * 8)
     xp = jnp.zeros((m_pad, k), x.dtype).at[:m].set(x) if m_pad != m else x
+    k_phys = codes_t.shape[0]          # K, or K//2 when nibble-packed
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, bias=_BIAS[qtype]),
+        functools.partial(_qmm_kernel, bias=_BIAS[qtype],
+                          packed=k_phys != k),
         grid=(n // tile_n,),
         in_specs=[
             pl.BlockSpec((m_pad, k), lambda i: (0, 0)),
-            pl.BlockSpec((k, tile_n), lambda i: (0, i)),
+            pl.BlockSpec((k_phys, tile_n), lambda i: (0, i)),
             pl.BlockSpec((k // QK, tile_n), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((m_pad, tile_n), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n * k,
-            bytes_accessed=n * k + n * (k // QK) * 4 + m_pad * k * 4 + m_pad * n * 4,
+            bytes_accessed=n * k_phys + n * (k // QK) * 4 + m_pad * k * 4 + m_pad * n * 4,
             transcendentals=0,
         ),
     )(xp, codes_t, scales_t)
@@ -159,7 +236,24 @@ class QuantTensor:
         self.codes_t = codes_t
         self.scales_t = scales_t
         self.qtype = qtype
-        self.shape = (int(codes_t.shape[1]), int(codes_t.shape[0]))  # (N, K)
+        # K derived from the scales so nibble-packed codes report the
+        # logical shape (codes may hold K or K//2 physical rows).
+        self.shape = (int(codes_t.shape[-1]),
+                      int(scales_t.shape[-2]) * QK)  # (N, K)
+
+    @property
+    def is_packed(self) -> bool:
+        return is_packed(self.codes_t, self.scales_t)
+
+    def pack(self) -> "QuantTensor":
+        """Nibble-pack Q4_0 codes (2 codes/byte along K) — exact, halves
+        code HBM traffic. No-op for other qtypes, already-packed codes, or
+        K that cannot keep block halves 32-aligned."""
+        if (self.qtype != quants.GGML_TYPE_Q4_0 or self.is_packed
+                or not can_pack(self.shape[1])):
+            return self
+        return QuantTensor(pack_codes_t(self.codes_t), self.scales_t,
+                           self.qtype)
 
     @classmethod
     def from_planar(cls, codes: np.ndarray, scales: np.ndarray, qtype: int):

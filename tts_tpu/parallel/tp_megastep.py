@@ -68,6 +68,20 @@ def prep_tp_layers(layers, tp: int) -> tuple[TPLayers, int]:
                 cq=layers.cq_w, co=layers.co_w, f1=layers.fc1, f2=layers.fc2)
     if not all(isinstance(m, QuantTensor) for m in mats.values()):
         raise ValueError("TP megastep needs all projections quantized")
+    # K-row sharding below is incompatible with the nibble pack-block
+    # layout (a 1/tp row shard does not contain whole half-split blocks),
+    # so unpack any packed codes first; the gather-mode layout
+    # (shard_mega_gather) shards on N and keeps the pack.
+    from ..ops.quant_matmul import unpack_codes_t
+
+    def unpack(m: QuantTensor) -> QuantTensor:
+        if not m.is_packed:
+            return m
+        return QuantTensor(
+            unpack_codes_t(m.codes_t, m.shape[1]).astype(jnp.int8),
+            m.scales_t, m.qtype)
+
+    mats = {k: unpack(m) for k, m in mats.items()}
     qtypes = {m.qtype for m in mats.values()}
     if len(qtypes) != 1 or next(iter(qtypes)) not in _BIAS:
         raise ValueError(f"TP megastep needs one uniform qtype: {qtypes}")
