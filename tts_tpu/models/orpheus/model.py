@@ -140,7 +140,9 @@ def orpheus_prefill(cfg: OrpheusConfig, w: OrpheusWeights, tokens, valid_len,
     bias = jnp.where(j <= i, 0.0, -jnp.inf)
     x, kv_k, kv_v = _llama_step(cfg, w, x, positions, kv_k, kv_v, 0, bias)
     last = x[valid_len - 1]
-    logits = matmul(last[None, :], w.head)[0]
+    # head may be vocab-padded for the Pallas fast path (fast_lm_head);
+    # padded columns are exactly zero — slice before sampling
+    logits = matmul(last[None, :], w.head)[0, : cfg.vocab_size]
     return logits, kv_k, kv_v
 
 
@@ -189,7 +191,7 @@ def orpheus_generate_tokens(cfg: OrpheusConfig, w: OrpheusWeights, first_token,
         bias = jnp.where(j <= st.pos, 0.0, -jnp.inf)
         h, kv_k2, kv_v2 = _llama_step(cfg, w, x, st.pos[None], st.kv_k,
                                       st.kv_v, st.pos, bias)
-        logits = matmul(h, w.head)  # (1, vocab)
+        logits = matmul(h, w.head)[:, : cfg.vocab_size]  # (1, vocab)
         key, sub = jax.random.split(st.key)
         toks, s_state = sampling.sample_or_greedy(
             sub, logits, st.sampler_state, do_sample=do_sample,
@@ -262,7 +264,7 @@ def orpheus_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
             bias = jnp.where(j <= st.pos, 0.0, -jnp.inf)
             h, kv_k2, kv_v2 = _llama_step(cfg, w, x, st.pos[None], st.kv_k,
                                           st.kv_v, st.pos, bias)
-        logits = matmul(h, w.head)
+        logits = matmul(h, w.head)[:, : cfg.vocab_size]
         key, sub = jax.random.split(st.key)
         toks, s_state = sampling.sample_or_greedy(
             sub, logits, st.sampler_state, do_sample=do_sample,
@@ -362,11 +364,12 @@ class OrpheusRunner(TTSRunner):
         self.prompt_buckets = prompt_buckets
         from ...ops.quant_matmul import QuantTensor
         if isinstance(self.weights.head, QuantTensor):
-            # nibble-pack the Q4 LM head (exact): 157k x 3072 is ~480 MB of
-            # codes read per decode step unpacked — the single largest
-            # contributor to Orpheus step HBM traffic
+            # 157k x 3072 head: pad N to the Pallas alignment (156940 is
+            # NOT 256-aligned -> XLA dense-dequant fallback otherwise),
+            # bf16 the scales (fast dequant path) and nibble-pack the Q4
+            # codes — the head is ~25% of decode-step HBM+VPU cost
             self.weights = self.weights._replace(
-                head=self.weights.head.pack())
+                head=self.weights.head.fast_lm_head())
         self._mega, self._mega_qtype = maybe_prep_llama_mega(
             cfg, self.weights)
 

@@ -158,9 +158,12 @@ def _transformer(cfg: ParlerConfig, w: ParlerWeights, x, kv_k, kv_v, pos,
 
 
 def _logits_last(cfg: ParlerConfig, w: ParlerWeights, x_last):
-    """(H,) hidden -> (n_heads, vocab) logits via the stacked head matmul."""
+    """(H,) hidden -> (n_heads, vocab) logits via the stacked head matmul.
+    Heads may carry per-head vocab padding (fast_stacked_heads) — padded
+    columns are exactly zero and sliced off here."""
     out = matmul(x_last[None, :], w.heads)[0]
-    return out.reshape(cfg.n_output_heads, cfg.output_vocab_size)
+    vocab_p = out.shape[-1] // cfg.n_output_heads
+    return out.reshape(cfg.n_output_heads, vocab_p)[:, : cfg.output_vocab_size]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_cross"))
@@ -515,9 +518,12 @@ class ParlerRunner(TTSRunner):
         self.prompt_buckets = prompt_buckets
         from ...ops.quant_matmul import QuantTensor
         if isinstance(self.weights.heads, QuantTensor):
-            # nibble-pack Q4 LM heads (exact) — halves head read per step
+            # per-head vocab padding to the Pallas alignment (9*1088 = 9792
+            # is NOT 256-aligned -> XLA dense-dequant fallback otherwise)
+            # + bf16 scales (fast dequant path) + nibble-packed Q4 codes
             self.weights = self.weights._replace(
-                heads=self.weights.heads.pack())
+                heads=self.weights.heads.fast_stacked_heads(
+                    self.cfg.n_output_heads, self.cfg.output_vocab_size))
         self._mega, self._mega_qtype = maybe_prep_mega(self.cfg, self.weights)
 
     def update_conditional_prompt(self, file_path: str, prompt: str) -> None:

@@ -78,13 +78,13 @@ def prep_llama_mega(layers) -> tuple[LlamaMegaLayers, int]:
     mega = LlamaMegaLayers(
         qkv_codes=qkv_c.astype(jnp.int8), qkv_scales=qkv_s,
         o_codes=mats["o"].codes_t.astype(jnp.int8),
-        o_scales=mats["o"].scales_t.astype(jnp.float32),
+        o_scales=mats["o"].scales_t.astype(jnp.bfloat16),
         gate_codes=mats["gate"].codes_t.astype(jnp.int8),
-        gate_scales=mats["gate"].scales_t.astype(jnp.float32),
+        gate_scales=mats["gate"].scales_t.astype(jnp.bfloat16),
         up_codes=mats["up"].codes_t.astype(jnp.int8),
-        up_scales=mats["up"].scales_t.astype(jnp.float32),
+        up_scales=mats["up"].scales_t.astype(jnp.bfloat16),
         down_codes=mats["down"].codes_t.astype(jnp.int8),
-        down_scales=mats["down"].scales_t.astype(jnp.float32),
+        down_scales=mats["down"].scales_t.astype(jnp.bfloat16),
         norms=norms.astype(jnp.float32),
     )
     if (qtype == quants.GGML_TYPE_Q4_0

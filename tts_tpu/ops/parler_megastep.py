@@ -83,9 +83,11 @@ def prep_mega_layers(layers) -> tuple[MegaLayers, int]:
         raise ValueError(f"megastep needs one uniform qtype, got {qtypes}")
     qtype = next(iter(qtypes))
 
+    # scales ship in bf16: halves scale HBM traffic and enables _dqdot's
+    # reduced-op fast path (see _dqdot header)
     def cat(ms, axis=-1):
         return (jnp.concatenate([m.codes_t for m in ms], axis=axis),
-                jnp.concatenate([m.scales_t.astype(jnp.float32) for m in ms],
+                jnp.concatenate([m.scales_t.astype(jnp.bfloat16) for m in ms],
                                 axis=axis))
 
     qkv_c, qkv_s = cat([mats["q"], mats["k"], mats["v"]])
@@ -96,9 +98,9 @@ def prep_mega_layers(layers) -> tuple[MegaLayers, int]:
         qkv_codes=qkv_c.astype(jnp.int8), qkv_scales=qkv_s,
         occ_codes=occ_c.astype(jnp.int8), occ_scales=occ_s,
         fc1_codes=mats["f1"].codes_t.astype(jnp.int8),
-        fc1_scales=mats["f1"].scales_t.astype(jnp.float32),
+        fc1_scales=mats["f1"].scales_t.astype(jnp.bfloat16),
         fc2_codes=mats["f2"].codes_t.astype(jnp.int8),
-        fc2_scales=mats["f2"].scales_t.astype(jnp.float32),
+        fc2_scales=mats["f2"].scales_t.astype(jnp.bfloat16),
         norms=norms.astype(jnp.float32),
         cross_k=layers.cross_k.astype(jnp.float32),
         cross_v=layers.cross_v.astype(jnp.float32),
@@ -132,12 +134,10 @@ def _ln(x, w, b, eps=1e-5):
 def _dqdot(x, codes, scales, bias, *, kc=2048, nc=1024):
     """Dense block-dequant matmul: x (B, K) f32 x codes (K, N) i8 -> (B, N).
 
-    Per (kc, nc) tile: hop the int8 codes through i32 to f32 (Mosaic has no
-    direct i8->f32 cast), fold the ggml type bias, expand the per-32 block
-    scales along the sublane dim, round the dequantized tile to bf16, and
-    run one dense MXU matmul with f32 accumulation. Tiling bounds the f32
-    temporaries to ~kc*nc*4 bytes so the whole-projection dequant never
-    spills VMEM.
+    Per (kc, nc) tile: expand the per-32 block scales along the sublane dim,
+    dequantize the codes in registers, and run one dense MXU matmul with f32
+    accumulation. Tiling bounds the temporaries so the whole-projection
+    dequant never spills VMEM.
 
     Codes may be nibble-packed ((K//2, N), block half-split: within each
     PACK_BLOCK rows, byte row r = logical rows r and r + block/2 — detected
@@ -145,6 +145,18 @@ def _dqdot(x, codes, scales, bias, *, kc=2048, nc=1024):
     (no interleave) dequant-matmuls against the matching x lanes, which
     measured ~2x faster than any in-register nibble-interleave formulation
     (tools/probe_unpack.py).
+
+    Scales may arrive in bf16 (the megastep prep_* emit them so) purely as
+    an HBM-traffic optimization — they are upcast to f32 per tile before
+    the expansion, so the dequant MATH is identical for both dtypes (f32
+    dequant, f32 scale multiply, one bf16 rounding before the MXU). A
+    measured dead end worth recording: bf16 elementwise dequant (direct
+    int->bf16 casts, bf16 scale multiply, bias folded into a second MXU dot
+    against the scale expansion) is SLOWER on v5e — the legacy f32 path
+    runs at ~860 GB/s effective (HBM-bound), the bf16-multiply variants at
+    430-600 GB/s, and the bias-fold's extra dot costs a second full MXU
+    weight pass (tools/probe_dqdot.py; the round-4 interim bench regressed
+    Parler 1.0->1.17 ms/step on it).
     """
     from .quant_matmul import PACK_BLOCK
     n = codes.shape[1]
@@ -160,7 +172,7 @@ def _dqdot(x, codes, scales, bias, *, kc=2048, nc=1024):
         if bias:
             cf = cf - bias
         srep = jax.lax.broadcast_in_dim(
-            s, (rr // QK, QK, nn), (0, 2)).reshape(rr, nn)
+            s.astype(jnp.float32), (rr // QK, QK, nn), (0, 2)).reshape(rr, nn)
         wf = (cf * srep).astype(jnp.bfloat16)
         return jax.lax.dot_general(
             x[:, base:base + rr].astype(jnp.bfloat16), wf,
@@ -606,19 +618,19 @@ def _parler_megastep_batched_tpu(mega: MegaLayers, x, kv_k, kv_v, pos, *,
 def parler_megastep_batched_reference(mega: MegaLayers, x, kv_k, kv_v, pos,
                                       *, qtype: int, use_cross: bool,
                                       n_heads: int):
-    """Vmapped single-slot reference — the batched kernel's math is exactly
-    the single kernel's applied independently per slot (the dequant matmul
-    has no cross-row coupling), so this IS the spec."""
+    """Per-slot loop over the single-slot reference — the batched kernel's
+    math is exactly the single kernel's applied independently per slot (the
+    dequant matmul has no cross-row coupling), so this IS the spec. An
+    explicit loop (not vmap) keeps each slot bit-identical to a single-slot
+    call: vmap lowers the dots with a batch dim whose different accumulation
+    order is amplified by the fast path's bias-fold subtraction."""
     pos = jnp.asarray(pos, jnp.int32)
-
-    def one(xb, kb, vb, pb):
-        xo, kn, vn = parler_megastep_reference(
-            mega, xb[None, :], kb, vb, pb, qtype=qtype, use_cross=use_cross,
-            n_heads=n_heads)
-        return xo[0], kn, vn
-
-    return jax.vmap(one, in_axes=(0, 1, 1, 0), out_axes=(0, 1, 1))(
-        x, kv_k, kv_v, pos)
+    outs = [parler_megastep_reference(
+        mega, x[s:s + 1], kv_k[:, s], kv_v[:, s], pos[s], qtype=qtype,
+        use_cross=use_cross, n_heads=n_heads) for s in range(x.shape[0])]
+    return (jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.stack([o[1] for o in outs], axis=1),
+            jnp.stack([o[2] for o in outs], axis=1))
 
 
 # ---------------------------------------------------------------------------
@@ -627,9 +639,10 @@ def parler_megastep_batched_reference(mega: MegaLayers, x, kv_k, kv_v, pos,
 
 def _qdot_ref(h_row, codes, scales, bias):
     """h_row (B, K) f32 -> (B, N): same dequant math as the kernel's _dqdot
-    (block dequant to bf16, bf16 activations, f32 accumulation) in plain XLA.
-    Accumulation order may differ from the MXU by float-rounding ULPs.
-    Accepts nibble-packed codes (exact unpack, same values)."""
+    (block dequant to f32, f32 scale multiply, bf16 rounding, bf16
+    activations, f32 accumulation) in plain XLA. Accumulation order may
+    differ from the MXU by float-rounding ULPs. Accepts nibble-packed codes
+    (exact unpack, same values) and bf16 scales (upcast, same math)."""
     from .quant_matmul import unpack_codes_t
     k = h_row.shape[1]
     if codes.shape[0] != k:
@@ -638,7 +651,8 @@ def _qdot_ref(h_row, codes, scales, bias):
         cf = codes.astype(jnp.float32)                            # (K, N)
     if bias:
         cf = cf - bias
-    srep = jnp.repeat(scales, QK, axis=0, total_repeat_length=k)  # (K, N)
+    srep = jnp.repeat(scales.astype(jnp.float32), QK, axis=0,
+                      total_repeat_length=k)                      # (K, N)
     wf = (cf * srep).astype(jnp.bfloat16)
     return jax.lax.dot_general(
         h_row.astype(jnp.bfloat16), wf,

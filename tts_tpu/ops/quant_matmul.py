@@ -134,7 +134,17 @@ def quant_matmul_xla(x: jax.Array, codes_t: jax.Array, scales_t: jax.Array,
 def _qmm_kernel(x_ref, c_ref, s_ref, o_ref, *, bias: float, packed: bool):
     """Grid (N//TN,): dequantize one (K, TN) weight tile in registers, feed
     the MXU. Full K per tile — the supported models' K (<= 8192) fits VMEM,
-    avoiding K-tiling and lane-misaligned scale slicing entirely."""
+    avoiding K-tiling and lane-misaligned scale slicing entirely.
+
+    bf16 scales select the megastep dequant path (parler_megastep._dqdot:
+    f32 dequant, ONE bf16 MXU pass with f32 accumulation) — used for the
+    big LM-head matvecs where the f32-HIGHEST multi-pass dot is ~3x off the
+    HBM floor; f32 scales keep full f32 HIGHEST precision."""
+    if s_ref.dtype == jnp.bfloat16:
+        from .parler_megastep import _dqdot
+        o_ref[:] = _dqdot(x_ref[:].astype(jnp.float32), c_ref[:], s_ref[:],
+                          bias).astype(o_ref.dtype)
+        return
     # (Mosaic can't cast u8/i8 -> f32 directly; hop through i32.)
     if packed:
         ci = c_ref[:].astype(jnp.int32)
@@ -262,8 +272,53 @@ class QuantTensor:
                    jnp.asarray(np.ascontiguousarray(scales.T.astype(np.float32))),
                    qtype)
 
+    def pad_n(self, align: int = 256) -> "QuantTensor":
+        """Zero-pad the output dim N up to a multiple of `align` so the
+        Pallas kernel applies (misaligned N falls back to the XLA dequant
+        path, which materializes the dense weight — catastrophic for big LM
+        heads). Padded columns have zero scales -> exactly-zero outputs;
+        callers slice logits back to the true vocab."""
+        n = self.codes_t.shape[-1]
+        pad = (-n) % align
+        if pad == 0:
+            return self
+        cfg = [(0, 0)] * (self.codes_t.ndim - 1) + [(0, pad)]
+        return QuantTensor(jnp.pad(self.codes_t, cfg),
+                           jnp.pad(self.scales_t, cfg), self.qtype)
+
     def matmul(self, x: jax.Array) -> jax.Array:
         return quant_matmul(x, self.codes_t, self.scales_t, self.qtype)
+
+    def fast_lm_head(self, align: int = 256) -> "QuantTensor":
+        """Prep for the decode-loop LM-head matvec: pad N to the Pallas
+        alignment, ship scales in bf16 (halves scale traffic and selects the
+        single-pass bf16 dequant-dot kernel), nibble-pack Q4 codes. Callers
+        slice the logits back to the true vocab (padded columns are exactly
+        zero)."""
+        h = self.pad_n(align)
+        return QuantTensor(h.codes_t, h.scales_t.astype(jnp.bfloat16),
+                           h.qtype).pack()
+
+    def fast_stacked_heads(self, n_heads: int, vocab: int,
+                           align: int = 256) -> "QuantTensor":
+        """fast_lm_head for a stacked multi-codebook head (N = n_heads *
+        vocab): each head's vocab is padded to `align` IN PLACE so callers
+        can reshape logits to (n_heads, padded_vocab) and slice; padding
+        the total N would shift head boundaries."""
+        h = self
+        if h.codes_t.shape[-1] == n_heads * vocab and vocab % align:
+            vp = ((vocab + align - 1) // align) * align
+            kc, ks = h.codes_t.shape[-2], h.scales_t.shape[-2]
+            shp = h.codes_t.shape[:-2]
+            codes = h.codes_t.reshape(-1, kc, n_heads, vocab)
+            codes = jnp.pad(codes, ((0, 0),) * 3 + ((0, vp - vocab),))
+            scales = h.scales_t.reshape(-1, ks, n_heads, vocab)
+            scales = jnp.pad(scales, ((0, 0),) * 3 + ((0, vp - vocab),))
+            h = QuantTensor(codes.reshape(*shp, kc, n_heads * vp),
+                            scales.reshape(*shp, ks, n_heads * vp),
+                            h.qtype)
+        return QuantTensor(h.codes_t, h.scales_t.astype(jnp.bfloat16),
+                           h.qtype).pack()
 
     def dense(self, dtype=jnp.float32) -> jax.Array:
         """Materialize W (N, K)."""

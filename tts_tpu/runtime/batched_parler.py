@@ -166,7 +166,10 @@ def batched_decode_chunk(cfg: ParlerConfig, w: ParlerWeights,
             x, (kv_k, kv_v) = jax.lax.scan(layer_body, x,
                                            (w.layers, st.kv_k, st.kv_v))
         x = _layer_norm(x, w.final_ln_w, w.final_ln_b)
-        logits = matmul(x, w.heads).reshape(-1, nh, cfg.output_vocab_size)
+        out = matmul(x, w.heads)
+        # heads may carry per-head vocab padding (fast_stacked_heads)
+        logits = out.reshape(-1, nh, out.shape[-1] // nh)[
+            :, :, : cfg.output_vocab_size]
         key, sub = jax.random.split(st.key)
         toks, s_state = sampling.sample_batched(
             sub, logits, st.sampler_state, do_sample=st.do_sample,
