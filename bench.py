@@ -76,7 +76,9 @@ def build_q4_parler(rng, n_layers=24, hidden=1024, heads=16, ffn=4096,
         prompt_embd=f32(1000, H),
         pos_embd=f32(max_ctx, H),
         final_ln_w=f32(H) + 1, final_ln_b=f32(H),
-        heads=q4(n_out_heads * vocab, H),
+        # per-head padded + bf16-scale + packed, as ParlerRunner preps
+        heads=q4(n_out_heads * vocab, H).fast_stacked_heads(n_out_heads,
+                                                            vocab),
     )
     return cfg, weights
 
@@ -417,6 +419,7 @@ def bench_orpheus() -> dict:
     from tts_tpu.models.orpheus.model import maybe_prep_llama_mega
 
     cfg, w = build_q4_orpheus()
+    w = w._replace(head=w.head.fast_lm_head())  # bf16 scales, as the runner preps
     mega, mega_qtype = maybe_prep_llama_mega(cfg, w)
     dt = kv_cache_dtype()
     shape = (cfg.n_layers, cfg.n_kv_heads, cfg.max_context_length,
@@ -456,19 +459,29 @@ def bench_dia() -> dict:
     import jax
     import jax.numpy as jnp
     from tts_tpu.models.dia.model import (_dia_init_state, dia_decode_chunk,
-                                          dia_encode)
+                                          dia_encode, maybe_prep_dia_mega)
 
     cfg, w = build_q4_dia()
+    w = w._replace(heads=w.heads.fast_stacked_heads(
+        cfg.n_output_heads, cfg.output_vocab_size))
+    mega, mega_qtype = maybe_prep_dia_mega(cfg, w)
     rng = np.random.default_rng(6)
     toks = np.zeros((2, cfg.max_encoder_context_length), np.int32)
     toks[0, :100] = rng.integers(3, 250, 100)
     hidden, ck, cv = dia_encode(cfg, w, jnp.asarray(toks), jnp.int32(100))
+    mega_kw = {}
+    if mega is not None:
+        from tts_tpu.ops.dia_megastep import prep_dia_cross
+        ck, cv, vtail, n_tail = prep_dia_cross(ck, cv, 100)
+        mega_kw = dict(mega=mega, mega_qtype=mega_qtype, vtail=vtail,
+                       n_tail=n_tail)
     st = _dia_init_state(cfg, jax.random.PRNGKey(7), 256)
     steps = 64
 
     def run(st):
         st = dia_decode_chunk(cfg, w, ck, cv, st, n_steps=steps,
-                              max_steps=256, do_sample=True, top_k=50)
+                              max_steps=256, do_sample=True, top_k=50,
+                              **mega_kw)
         int(np.asarray(st.out_tokens).sum())
         return st
 
@@ -477,7 +490,8 @@ def bench_dia() -> dict:
     run(st)
     per = (time.perf_counter() - t0 - 0.033) / steps
     return {"dia_1p6b_q4_decode_rtf": round(SAMPLES_PER_STEP / SAMPLE_RATE / per, 3),
-            "dia_ms_per_step": round(per * 1e3, 3)}
+            "dia_ms_per_step": round(per * 1e3, 3),
+            "dia_megakernel": mega is not None}
 
 
 class _BenchTok:

@@ -82,7 +82,15 @@ class DiaConfig:
         c.max_encoder_context_length = int(g("dia.encoder.max_context_length", c.max_encoder_context_length))
         c.encoder_attn_heads = int(g("dia.encoder.attn_heads", c.encoder_attn_heads))
         c.n_encoder_layers = int(g("dia.encoder.layers", c.n_encoder_layers))
-        c.encoder_hidden_size = int(g("dia.encoder.hidden_size", c.encoder_hidden_size))
+        enc_h = g("dia.encoder.hidden_size")
+        if enc_h is None and "dia.encoder.embedding" in r.tensors:
+            # the reference converter (py-gguf dia_gguf_encoder.py
+            # set_gguf_parameters) never writes this key — the C++ loader
+            # relies on the 1.6B default. Infer from the embedding tensor so
+            # arbitrary-size converter outputs load correctly.
+            enc_h = r.tensors["dia.encoder.embedding"].shape[-1]
+        if enc_h is not None:
+            c.encoder_hidden_size = int(enc_h)
         c.decoder_hidden_size = int(g("dia.decoder.hidden_size", c.decoder_hidden_size))
         c.n_decoder_layers = int(g("dia.decoder.layers", c.n_decoder_layers))
         c.n_output_heads = int(g("dia.decoder.output_heads", c.n_output_heads))
@@ -255,8 +263,10 @@ def _dia_decoder_step(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v,
     x, (kv_k, kv_v) = jax.lax.scan(layer, x,
                                    (w.dec_layers, kv_k, kv_v, cross_k, cross_v))
     x = _rms(x, w.dec_norm)
-    out = matmul(x[:, 0, :], w.heads)                      # (2, nh9*vocab)
-    out = out.reshape(2, cfg.n_output_heads, cfg.output_vocab_size)
+    out = matmul(x[:, 0, :], w.heads)                      # (2, nh9*vocab+)
+    vocab_p = out.shape[-1] // cfg.n_output_heads          # >= vocab if padded
+    out = out.reshape(2, cfg.n_output_heads, vocab_p)
+    out = out[:, :, :cfg.output_vocab_size]
     cond, uncond = out[0], out[1]
     merged = cond + cfg.cfg_scale * (cond - uncond)
     tok = jnp.arange(cfg.output_vocab_size)
@@ -351,17 +361,70 @@ def _dia_init_state(cfg: DiaConfig, key, max_steps: int):
     )
 
 
+def maybe_prep_dia_mega(cfg: DiaConfig, w: DiaWeights):
+    """(DiaMegaLayers, qtype) when the fused Dia CFG decode kernel applies
+    (TPU, uniformly quantized decoder projections, kernel-friendly dims),
+    else (None, None) -> the per-matmul path. Same gating pattern as
+    Parler's maybe_prep_mega."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    import os
+    force = os.environ.get("TTS_TPU_MEGAKERNEL")
+    if force == "0" or (not on_tpu and force != "1"):
+        return None, None
+    if cfg.decoder_hidden_size % 128 or cfg.head_size % 64:
+        return None, None
+    try:
+        from ...ops.dia_megastep import prep_dia_mega
+        return prep_dia_mega(w.dec_layers)
+    except ValueError:
+        return None, None
+
+
+def _dia_mega_logits(cfg: DiaConfig, w: DiaWeights, mega, mega_qtype,
+                     tokens_in, pos, kv_k, kv_v, ck, cv, vtail, n_tail):
+    """One fused decode step via ops/dia_megastep. Same contract as
+    _dia_decoder_step but with packed bf16 cross K/V (prep_dia_cross)."""
+    from ...ops.dia_megastep import dia_megastep
+    L, nkv, d = cfg.n_decoder_layers, cfg.n_kv_heads, cfg.head_size
+    embs = jax.vmap(lambda e, tk: e[tk])(w.dec_embds, tokens_in)
+    x = jnp.broadcast_to(jnp.sum(embs, axis=0), (2, cfg.decoder_hidden_size))
+    xo, kn, vn = dia_megastep(mega, x, kv_k, kv_v, pos, ck, cv, vtail,
+                              n_tail, qtype=mega_qtype,
+                              n_heads=cfg.decoder_attn_heads, n_kv=nkv)
+    kv_k = jax.lax.dynamic_update_slice(
+        kv_k, kn.reshape(L, 2, nkv, 1, d).astype(kv_k.dtype), (0, 0, 0, pos, 0))
+    kv_v = jax.lax.dynamic_update_slice(
+        kv_v, vn.reshape(L, 2, nkv, 1, d).astype(kv_v.dtype), (0, 0, 0, pos, 0))
+    x = _rms(xo, w.dec_norm)
+    out = matmul(x, w.heads)                                 # (2, nh*vocab+)
+    vocab_p = out.shape[-1] // cfg.n_output_heads
+    out = out.reshape(2, cfg.n_output_heads, vocab_p)
+    out = out[:, :, :cfg.output_vocab_size]
+    cond, uncond = out[0], out[1]
+    merged = cond + cfg.cfg_scale * (cond - uncond)
+    tok = jnp.arange(cfg.output_vocab_size)
+    merged = jnp.where(tok > cfg.cfg_max_output, -jnp.inf, merged)
+    return merged, kv_k, kv_v
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "max_steps",
                                              "do_sample", "temperature",
                                              "top_k", "top_p",
-                                             "repetition_penalty"))
+                                             "repetition_penalty",
+                                             "mega_qtype", "n_tail"))
 def dia_decode_chunk(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v,
                      st: DiaDecodeState, *, n_steps: int, max_steps: int,
                      do_sample: bool = True, temperature: float = 1.0,
                      top_k: int = 0, top_p: float = 1.0,
-                     repetition_penalty: float = 1.0):
+                     repetition_penalty: float = 1.0,
+                     mega=None, mega_qtype=None, vtail=None, n_tail=0):
     """n_steps decode steps as lax.scan with compute-always + masked updates
-    (Pallas-friendly: no while_loop, no cond around kernels)."""
+    (Pallas-friendly: no while_loop, no cond around kernels). With `mega`
+    the whole layer stack runs as one fused kernel per step and
+    cross_k/cross_v are the PACKED bf16 arrays from prep_dia_cross."""
     nh = cfg.n_output_heads
     delay = jnp.asarray(cfg.delay_pattern, jnp.int32)
 
@@ -378,9 +441,14 @@ def dia_decode_chunk(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v,
         ds = jnp.where(in_delay, ds - 1, ds)
         now_done = (ds == 0) | st.done | (st.pos >= max_steps)
 
-        logits, kv_k, kv_v = _dia_decoder_step(
-            cfg, w, cross_k, cross_v, t_in, jnp.minimum(st.pos, max_steps - 1),
-            st.kv_k, st.kv_v)
+        pos_c = jnp.minimum(st.pos, max_steps - 1)
+        if mega is not None:
+            logits, kv_k, kv_v = _dia_mega_logits(
+                cfg, w, mega, mega_qtype, t_in, pos_c, st.kv_k, st.kv_v,
+                cross_k, cross_v, vtail, n_tail)
+        else:
+            logits, kv_k, kv_v = _dia_decoder_step(
+                cfg, w, cross_k, cross_v, t_in, pos_c, st.kv_k, st.kv_v)
         key, sub = jax.random.split(st.key)
         toks, s_state = sampling.sample_or_greedy(
             sub, logits, st.sampler_state, do_sample=do_sample,
@@ -524,17 +592,33 @@ class DiaRunner(TTSRunner):
         self.dac = dac_runner
         from ...ops.quant_matmul import QuantTensor
         if isinstance(self.weights.heads, QuantTensor):
-            # nibble-pack Q4 LM heads (exact) — halves head read per step
+            # per-head vocab padding to the Pallas alignment (1028 -> N 9252
+            # otherwise falls back to the XLA dense-dequant path) + bf16
+            # scales + nibble-packed Q4 codes; padded logits are zero and
+            # sliced off before the CFG merge
             self.weights = self.weights._replace(
-                heads=self.weights.heads.pack())
+                heads=self.weights.heads.fast_stacked_heads(
+                    cfg.n_output_heads, cfg.output_vocab_size))
+        self._mega, self._mega_qtype = maybe_prep_dia_mega(cfg, self.weights)
 
-    def generate_codes(self, text: str, config: GenerationConfig):
+    def _encode_for_decode(self, ids):
+        """Encoder pass + cross-K/V packing for the active decode path."""
         cfg = self.cfg
-        ids = tokenize_sentence(text, cfg)
         tokens = np.zeros((2, cfg.max_encoder_context_length), np.int32)
         tokens[0, : len(ids)] = ids
         _, ck, cv = dia_encode(cfg, self.weights, jnp.asarray(tokens),
                                jnp.int32(len(ids)))
+        if self._mega is None:
+            return ck, cv, {}
+        from ...ops.dia_megastep import prep_dia_cross
+        ckp, cvp, vtail, n_tail = prep_dia_cross(ck, cv, len(ids))
+        return ckp, cvp, dict(mega=self._mega, mega_qtype=self._mega_qtype,
+                              vtail=vtail, n_tail=n_tail)
+
+    def generate_codes(self, text: str, config: GenerationConfig):
+        cfg = self.cfg
+        ids = tokenize_sentence(text, cfg)
+        ck, cv, mega_kw = self._encode_for_decode(ids)
         max_steps = cfg.max_generation_size
         if config.max_tokens and config.max_tokens > cfg.max_delay:
             max_steps = config.max_tokens
@@ -544,7 +628,7 @@ class DiaRunner(TTSRunner):
             max_steps=max_steps, do_sample=config.sample,
             temperature=float(config.temperature), top_k=int(config.top_k),
             top_p=float(config.top_p),
-            repetition_penalty=float(config.repetition_penalty))
+            repetition_penalty=float(config.repetition_penalty), **mega_kw)
         return adjust_output_tokens(np.asarray(out), int(n_steps), cfg)
 
     def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
@@ -564,10 +648,7 @@ class DiaRunner(TTSRunner):
         config = config or GenerationConfig()
         cfg = self.cfg
         ids = tokenize_sentence(text, cfg)
-        tokens = np.zeros((2, cfg.max_encoder_context_length), np.int32)
-        tokens[0, : len(ids)] = ids
-        _, ck, cv = dia_encode(cfg, self.weights, jnp.asarray(tokens),
-                               jnp.int32(len(ids)))
+        ck, cv, mega_kw = self._encode_for_decode(ids)
         max_steps = cfg.max_generation_size
         if config.max_tokens and config.max_tokens > cfg.max_delay:
             max_steps = config.max_tokens
@@ -576,7 +657,8 @@ class DiaRunner(TTSRunner):
         gen_kw = dict(do_sample=config.sample,
                       temperature=float(config.temperature),
                       top_k=int(config.top_k), top_p=float(config.top_p),
-                      repetition_penalty=float(config.repetition_penalty))
+                      repetition_penalty=float(config.repetition_penalty),
+                      **mega_kw)
         emitted = 0
         up = self.dac.cfg.up_sampling_factor if self.dac is not None else 0
         n = 0
