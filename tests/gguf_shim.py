@@ -73,6 +73,30 @@ class Metadata:
             writer.add_string("general.size_label", self.size_label)
 
 
+class _ReaderField:
+    """Mimics gguf-py's ReaderField enough for the kokoro encoder's
+    phonemizer transplant: `bytes(field.parts[idx]) for idx in field.data`."""
+
+    def __init__(self, strings):
+        self.parts = [s.encode("utf-8") for s in strings]
+        self.data = list(range(len(strings)))
+
+
+class GGUFReader:
+    """Read-side subset of gguf-py used by kokoro_gguf_encoder's
+    encode_tts_phonemizer, backed by tts_tpu's reader."""
+
+    def __init__(self, path):
+        from tts_tpu.gguf.reader import GGUFReader as _R
+        self._r = _R(str(path))
+
+    def get_field(self, key):
+        v = self._r.metadata.get(key)
+        if v is None:
+            return None
+        return _ReaderField([str(x) for x in v])
+
+
 class GGUFWriter:
     """API-compatible subset of gguf-py's GGUFWriter used by py-gguf."""
 

@@ -119,7 +119,20 @@ class KokoroConfig:
         c = cls()
         g = r.metadata.get
         c.max_context_length = int(g("kokoro.duration_predictor.albert.context_length", c.max_context_length))
-        c.vocab_size = int(g("kokoro.tokenizer.vocab_size", c.vocab_size))
+        vocab = g("kokoro.tokenizer.vocab_size")
+        if vocab is None and g("tokenizer.ggml.tokens") is not None:
+            # the reference converter (py-gguf kokoro_gguf_encoder.py) never
+            # writes the vocab-size key; the token list defines it
+            vocab = len(g("tokenizer.ggml.tokens"))
+        if vocab is not None:
+            c.vocab_size = int(vocab)
+        for name, ti in r.tensors.items():
+            # style vector width is not in the metadata either — each voice
+            # pack row is concat(style_half, style_half2)
+            if name.startswith("kokoro.voice_tensors."):
+                c.style_half_size = int(ti.shape[-1]) // 2
+                break
+        c.hidden_size = int(g("kokoro.duration_predictor.albert.hidden_size", c.hidden_size))
         c.hidden_size = int(g("kokoro.duration_predictor.albert.hidden_size", c.hidden_size))
         c.n_attn_heads = int(g("kokoro.duration_predictor.albert.attn_heads", c.n_attn_heads))
         c.n_layers = int(g("kokoro.duration_predictor.albert.layers", c.n_layers))
