@@ -240,3 +240,105 @@ def test_metrics_endpoint(dummy_server):
     assert m["audio_seconds_total"] > 0
     assert m["state"] == "READY"
     assert "realtime_factor" in m and "uptime_seconds" in m
+
+
+def test_orpheus_batched_server_matches_unbatched(tmp_path, rng):
+    """4 concurrent Orpheus requests through --batch-slots decode in ONE
+    batched engine and return byte-identical audio to the single-stream
+    server (greedy decode, fixed SNAC noise seed)."""
+    from tests.test_e2e_dia_orpheus import serialize_orpheus
+    from tests.test_orpheus import make_orpheus, make_tiny_snac
+    cfg, w = make_orpheus(rng)
+    snac_cfg, snac_w = make_tiny_snac(rng)
+    serialize_orpheus(str(tmp_path / "orph.gguf"), cfg, w, snac_cfg, snac_w)
+
+    def boot(batch_slots):
+        srv = build_server(str(tmp_path), config=GenerationConfig(sample=False),
+                           batch_slots=batch_slots)
+        httpd = serve(srv, "127.0.0.1", 0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        for _ in range(600):
+            if srv.state == "READY":
+                break
+            time.sleep(0.1)
+        assert srv.state == "READY"
+        return srv, httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    texts = ("hi", "hi there", "hi hi", "hi")
+    srv1, httpd1, base1 = boot(0)
+    ref = {t: _post(base1 + "/v1/audio/speech", {"input": t, "seed": 0})
+           for t in set(texts)}
+    httpd1.shutdown()
+
+    srv2, httpd2, base2 = boot(4)
+    assert "orph" in srv2.batched_workers
+    assert srv2.batched_workers["orph"].arch == "orpheus"
+    results = {}
+    lock = threading.Lock()
+
+    def req(i, text):
+        r = _post(base2 + "/v1/audio/speech", {"input": text, "seed": 0})
+        with lock:
+            results[i] = (text, r)
+
+    threads = [threading.Thread(target=req, args=(i, t))
+               for i, t in enumerate(texts)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    httpd2.shutdown()
+    assert len(results) == 4
+    for i, (text, (code, body, mime)) in results.items():
+        rcode, rbody, _ = ref[text]
+        assert code == rcode, (text, code, body[:200])
+        if code == 200:
+            assert body == rbody, f"batched audio differs for {text!r}"
+
+
+def test_stream_admission_and_metrics():
+    """stream:true requests are admission-controlled (n_parallel concurrent)
+    and counted in /metrics."""
+    srv = TTSServer({"dummy": "test:dummy"}, "dummy", GenerationConfig(),
+                    n_parallel=2, timeout=60)
+    httpd = serve(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        for _ in range(100):
+            if srv.state == "READY":
+                break
+            time.sleep(0.05)
+        base = f"http://127.0.0.1:{port}"
+
+        codes = []
+        lock = threading.Lock()
+
+        def stream(text):
+            req = urllib.request.Request(
+                base + "/v1/audio/speech",
+                data=json.dumps({"input": text, "stream": True}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    r.read()
+                    c = r.status
+            except urllib.error.HTTPError as e:
+                c = e.code
+            with lock:
+                codes.append(c)
+
+        threads = [threading.Thread(target=stream, args=("abc",))
+                   for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert codes.count(200) == 3          # queueing, not rejection
+        _, body, _ = _get(base + "/metrics")
+        m = json.loads(body)
+        assert m["streams_total"] >= 3
+        assert m["requests_total"] >= 3
+        assert m["audio_seconds_total"] > 0
+    finally:
+        httpd.shutdown()

@@ -117,21 +117,32 @@ class ServerTask:
         self.sample_rate = 0
 
 
+BATCHABLE_ARCHS = ("parler-tts", "orpheus")
+
+
 class BatchedModelWorker:
-    """Continuous-batching dispatcher for one Parler model.
+    """Continuous-batching dispatcher for one Parler or Orpheus model.
 
     Requests from many HTTP connections decode TOGETHER in one on-device
-    program (runtime/batched_parler.py) — one weight read serves every
-    active slot, so aggregate throughput scales with concurrency instead of
-    the reference's full-replica-per-thread model (server.cpp:885-897).
+    program (runtime/batched_parler.py / runtime/batched_llama.py) — one
+    weight read serves every active slot, so aggregate throughput scales
+    with concurrency instead of the reference's full-replica-per-thread
+    model (server.cpp:885-897; the reference cannot batch Orpheus at all).
     """
 
     def __init__(self, runner, n_slots: int, chunk: int = 32):
-        from ..runtime.batched_parler import BatchedParlerEngine
         self.runner = runner
-        self.engine = BatchedParlerEngine(runner.cfg, runner.weights,
-                                          runner.tokenizer, n_slots=n_slots,
-                                          chunk=chunk)
+        self.arch = getattr(runner, "arch", "")
+        if self.arch == "orpheus":
+            from ..runtime.batched_llama import BatchedLlamaEngine
+            self.engine = BatchedLlamaEngine(
+                runner.cfg, runner.weights, runner.tokenizer,
+                n_slots=n_slots, chunk=chunk)
+        else:
+            from ..runtime.batched_parler import BatchedParlerEngine
+            self.engine = BatchedParlerEngine(
+                runner.cfg, runner.weights, runner.tokenizer,
+                n_slots=n_slots, chunk=chunk)
         self.q: "queue.Queue[ServerTask]" = queue.Queue()
         self.tasks: Dict[int, ServerTask] = {}
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -186,18 +197,37 @@ class BatchedModelWorker:
                 if t is None:
                     continue
                 try:
-                    if self.runner.dac is not None and codes is not None \
-                            and codes.shape[0] > 0:
-                        t.audio = np.asarray(self.runner.dac.decode(codes),
-                                             np.float32)
-                    else:
-                        t.audio = np.zeros(0, np.float32)
-                    t.sample_rate = SAMPLE_RATE_DAC
+                    t.audio, t.sample_rate = self._vocode(t, codes)
                     t.success = True
                 except Exception as e:  # noqa: BLE001
                     t.message = str(e)
                     t.success = False
                 t.event.set()
+
+    def _vocode(self, task: "ServerTask", codes):
+        from ..common import SAMPLE_RATE_DAC, SAMPLE_RATE_SNAC
+        if self.arch == "orpheus":
+            snac = self.runner.snac
+            if snac is None or codes is None or not codes[2]:
+                return np.zeros(0, np.float32), SAMPLE_RATE_SNAC
+            # mirror OrpheusRunner.generate's SNAC path: clip codebook ids,
+            # position-stable noise keyed by the request seed
+            from ..models.codec.snac import make_noise_layers
+            cfg = self.runner.cfg
+            cb = snac.weights.quantizers[0].codebook.shape[0]
+            heads = [np.clip(np.asarray(h, np.int64), 0, cb - 1).tolist()
+                     for h in codes]
+            seed = task.config.seed if task.config.seed is not None else \
+                np.random.randint(2 ** 31)
+            noise = make_noise_layers(
+                snac.cfg, seed, 4 * (cfg.max_generation_size // 7 + 1))
+            wav = snac.decode(heads, noise_layers=noise)
+            return np.asarray(wav, np.float32), SAMPLE_RATE_SNAC
+        if self.runner.dac is not None and codes is not None \
+                and codes.shape[0] > 0:
+            return (np.asarray(self.runner.dac.decode(codes), np.float32),
+                    SAMPLE_RATE_DAC)
+        return np.zeros(0, np.float32), SAMPLE_RATE_DAC
 
 
 class TTSServer:
@@ -219,9 +249,14 @@ class TTSServer:
         self.workers = []
         self.created = int(time.time())
         self._lock = threading.Lock()
+        # admission control for streaming requests: streams bypass the task
+        # queue (they hold their HTTP connection) but must not oversubscribe
+        # the device — at most n_parallel concurrent streams
+        self.stream_slots = threading.Semaphore(self.n_parallel)
         # observability counters (GET /metrics); reference has none
         self.metrics = {
             "requests_total": 0, "requests_failed": 0,
+            "streams_total": 0, "streams_rejected": 0,
             "audio_seconds_total": 0.0, "wall_seconds_total": 0.0,
         }
 
@@ -249,7 +284,8 @@ class TTSServer:
         for model_id, path in self.model_map.items():
             runner = runner_from_file(path, self.default_config)
             self.runners[model_id] = runner
-            if self.batch_slots > 1 and getattr(runner, "arch", "") == "parler-tts":
+            if self.batch_slots > 1 and \
+                    getattr(runner, "arch", "") in BATCHABLE_ARCHS:
                 self.batched_workers[model_id] = BatchedModelWorker(
                     runner, n_slots=self.batch_slots)
         for i in range(self.n_parallel):
@@ -438,16 +474,26 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _handle_tts_stream(self, prompt: str, conf, model: str) -> None:
         """Chunked-transfer streaming of raw 16-bit PCM (time-to-first-audio
-        path). Runners without generate_stream fall back to one chunk."""
+        path). Runners without generate_stream fall back to one chunk.
+        Admission-controlled: at most n_parallel concurrent streams (503
+        otherwise) and counted in /metrics like queued requests."""
         srv = self.server_obj
         runner = srv.runners[model]
+        if not srv.stream_slots.acquire(timeout=min(srv.timeout, 30.0)):
+            with srv._lock:
+                srv.metrics["streams_rejected"] += 1
+            self._error("too many concurrent streams", 503)
+            return
+        t0 = time.perf_counter()
+        samples = 0
+        ok = False
+        rate = int(getattr(runner, "sample_rate", 44_100))
         try:
             if hasattr(runner, "generate_stream"):
                 gen = runner.generate_stream(prompt, conf)
             else:
                 resp = runner.generate(prompt, conf)
                 gen = iter([resp.audio])
-            rate = int(getattr(runner, "sample_rate", 44_100))
             self.send_response(200)
             self.send_header(
                 "Content-Type",
@@ -458,10 +504,12 @@ class _Handler(BaseHTTPRequestHandler):
                 pcm = (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
                 if not pcm:
                     continue
+                samples += len(pcm) // 2
                 self.wfile.write(f"{len(pcm):X}\r\n".encode())
                 self.wfile.write(pcm)
                 self.wfile.write(b"\r\n")
             self.wfile.write(b"0\r\n\r\n")
+            ok = True
         except BrokenPipeError:
             pass
         except Exception as e:  # noqa: BLE001
@@ -469,6 +517,15 @@ class _Handler(BaseHTTPRequestHandler):
                 self._error(str(e), 500)
             except Exception:
                 pass
+        finally:
+            srv.stream_slots.release()
+            with srv._lock:
+                srv.metrics["streams_total"] += 1
+                srv.metrics["requests_total"] += 1
+                if not ok:
+                    srv.metrics["requests_failed"] += 1
+                srv.metrics["audio_seconds_total"] += samples / rate
+                srv.metrics["wall_seconds_total"] += time.perf_counter() - t0
 
     def _handle_conditional(self, data: dict) -> None:
         srv = self.server_obj
