@@ -55,3 +55,82 @@ def test_trainer_gguf_roundtrip(tmp_path):
     for word, ipa in LEXICON.items():
         got = ph.text_to_phonemes(word)
         assert got == ipa, (word, got, ipa)
+
+
+def _systematic_lexicon():
+    """CMUdict-style word list from a systematic grapheme->IPA mapping
+    (plus a context rule: c -> s before i/e, else k) — large enough to
+    split train/held-out and measure generalization, the contract the
+    reference trainer documents (phonemization_training/README.md: rules
+    compiled from grapheme/phoneme correspondence rates, exceptions to a
+    dictionary)."""
+    cons = {"b": "b", "d": "d", "f": "f", "g": "ɡ", "k": "k", "l": "l",
+            "m": "m", "n": "n", "p": "p", "r": "ɹ", "s": "s", "t": "t",
+            "ch": "tʃ", "sh": "ʃ", "th": "θ"}
+    vowels = {"a": "æ", "e": "ɛ", "i": "ɪ", "o": "ɒ", "u": "ʌ",
+              "ee": "iː", "oo": "uː"}
+
+    def phonemize(word):
+        out = []
+        i = 0
+        graphemes = sorted(list(cons) + list(vowels) + ["c"], key=len,
+                           reverse=True)
+        units = []
+        while i < len(word):
+            for gr in graphemes:
+                if word.startswith(gr, i):
+                    units.append(gr)
+                    i += len(gr)
+                    break
+            else:
+                raise AssertionError(word)
+        for j, gr in enumerate(units):
+            if gr == "c":
+                nxt = units[j + 1] if j + 1 < len(units) else ""
+                out.append("s" if nxt and nxt[0] in "ie" else "k")
+            elif gr in cons:
+                out.append(cons[gr])
+            else:
+                out.append(vowels[gr])
+        return "".join(out)
+
+    onsets = ["b", "d", "f", "g", "k", "l", "m", "n", "p", "r", "s", "t",
+              "ch", "sh", "th", "c"]
+    nuclei = ["a", "e", "i", "o", "u", "ee", "oo"]
+    codas = ["b", "d", "g", "k", "l", "m", "n", "p", "s", "t"]
+    words = []
+    for i, on in enumerate(onsets):
+        for j, nu in enumerate(nuclei):
+            # subsample codas so the lexicon stays a few hundred words;
+            # append a second coda so every word is >= 4 letters — the
+            # runtime (faithfully to the reference, phonemizer.cpp:698-712)
+            # letter-spells unknown words shorter than 4 chars as acronyms
+            for k, co in enumerate(codas[(i + j) % 3::3]):
+                words.append(on + nu + co + ("t", "s", "p")[k % 3])
+    return {w: phonemize(w) for w in words}
+
+
+def test_trainer_heldout_accuracy_through_gguf(tmp_path):
+    """Train on 80% of a systematic lexicon, export the GGUF, and measure
+    EXACT-match accuracy of the runtime phonemizer on the held-out 20%
+    (words never seen in training, built from trained graphemes/contexts).
+    Prints the metric; the reference's contract is rule generalization with
+    exceptions in the dictionary, so held-out accuracy must be high."""
+    lex = _systematic_lexicon()
+    words = sorted(lex)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(words))
+    held = {words[i] for i in perm[: len(words) // 5]}
+    train = {w: lex[w] for w in words if w not in held}
+    t = PhonemizationTrainer()
+    t.train(train)
+    assert t.verify(train) == 1.0          # training set reproduces exactly
+
+    path = str(tmp_path / "ph_big.gguf")
+    t.export_gguf(path)
+    ph = Phonemizer.from_gguf(GGUFReader(path))
+    hits = sum(ph.text_to_phonemes(w) == lex[w] for w in held)
+    acc = hits / len(held)
+    print(f"\nheld-out phonemization accuracy: {acc:.3f} "
+          f"({hits}/{len(held)} words, {len(train)} train)")
+    assert acc >= 0.85, acc

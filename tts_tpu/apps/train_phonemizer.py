@@ -112,6 +112,7 @@ class PhonemizationTrainer:
                     before = gs[i - 1] if i > 0 else "^"
                     after = gs[i + 1] if i + 1 < len(gs) else "$"
                     self.counts[(g, before, after)][c] += 1
+                    self.counts[(g, before, "")][c] += 1  # (g, before, *)
                     self.counts[(g, "", "")][c] += 1
 
         # rule hierarchy: default per grapheme, then context refinements,
@@ -143,12 +144,38 @@ class PhonemizationTrainer:
                 before = gs[i - 1] if i > 0 else "^"
                 after = gs[i + 1] if i + 1 < len(gs) else "$"
                 self.rules.append(([g, before, after, word], c))
+        self._add_intermediate_defaults(defaults)
         wp = self._build(self.rules)
         for word, phoneme in items:
             if word in self.dictionary:
                 continue
             if wp.phonemize(word) != phoneme:
                 self.dictionary[word] = phoneme
+
+    def _add_intermediate_defaults(self, defaults: Dict[str, str]) -> None:
+        """The runtime trie lookup (text/phonemizer.PhonemizerRule, mirroring
+        reference phonemizer.h:404-435) descends into a matching context
+        child and returns THAT node's value when deeper keys miss — it does
+        not backtrack. So every internal node a rule creates needs its own
+        default, or unseen contexts that share a prefix with a trained rule
+        phonemize to "". Emit the count-marginal top chunk for every [g, b]
+        and [g, b, a] prefix of any deeper rule that lacks an explicit
+        value."""
+        explicit = {tuple(keys) for keys, _ in self.rules}
+        prefixes = set()
+        for keys, _ in self.rules:
+            for plen in (2, 3):
+                if len(keys) > plen:
+                    prefixes.add(tuple(keys[:plen]))
+        for pfx in sorted(prefixes):
+            if pfx in explicit:
+                continue
+            g, b = pfx[0], pfx[1]
+            a = pfx[2] if len(pfx) == 3 else ""
+            counter = self.counts.get((g, b, a))
+            top = counter.most_common(1)[0][0] if counter else \
+                defaults.get(g, "")
+            self.rules.append((list(pfx), top))
 
     def _build(self, rules):
         from ..text.phonemizer import WordPhonemizer
