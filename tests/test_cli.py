@@ -3,7 +3,9 @@ import numpy as np
 import pytest
 
 from tts_tpu.apps.cli import main
-from tts_tpu.audio.wav import decode_wav, encode_aiff, encode_wav
+from tts_tpu.audio.wav import (decode_aiff, decode_wav, encode_aiff,
+                               encode_wav, read_audio_file,
+                               write_audio_file)
 from tts_tpu.audio.vad import apply_energy_voice_inactivity_detection
 from tts_tpu.models.registry import runner_from_file
 
@@ -48,6 +50,24 @@ def test_aiff_header(rng):
     x = (rng.standard_normal(100) * 0.1).astype(np.float32)
     data = encode_aiff(x, 24000)
     assert data[:4] == b"FORM" and data[8:12] == b"AIFF"
+
+
+def test_aiff_roundtrip(rng):
+    x = (rng.standard_normal(1000) * 0.3).astype(np.float32)
+    for depth, tol in [(16, 1e-4), (24, 1e-6), (32, 1e-7)]:
+        audio, rate = decode_aiff(encode_aiff(x, 24000, depth))
+        assert rate == 24000
+        np.testing.assert_allclose(audio, np.clip(x, -1, 1), atol=tol)
+
+
+def test_read_audio_file_sniffs_format(rng, tmp_path):
+    x = (rng.standard_normal(500) * 0.2).astype(np.float32)
+    for name in ("a.wav", "b.aiff"):
+        p = str(tmp_path / name)
+        write_audio_file(x, p, 22050)
+        audio, rate = read_audio_file(p)
+        assert rate == 22050
+        np.testing.assert_allclose(audio, x, atol=1e-4)
 
 
 def test_vad_trims_trailing_silence():

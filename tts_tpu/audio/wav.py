@@ -125,6 +125,59 @@ def encode_aiff(audio: np.ndarray, sample_rate: int, bit_depth: int = 16) -> byt
     return buf.getvalue()
 
 
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF bytes -> (float32 waveform (channels collapsed to mono), rate).
+    Parity: the vendored AudioFile's read path (reference
+    include/audio_file.h decodeAiffFile)."""
+    if data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF file")
+    pos = 12
+    comm = None
+    audio = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack(">I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            channels, n_frames, bits = struct.unpack(">hIh", body[:8])
+            e = struct.unpack(">H", body[8:10])[0]
+            m = struct.unpack(">Q", body[10:18])[0]
+            rate = int(round(m / float(1 << 64) * 2.0 ** (e - 16382))) \
+                if m else 0
+            comm = (channels, n_frames, bits, rate)
+        elif cid == b"SSND":
+            audio = body[8:]          # skip offset/blockSize
+        pos += 8 + size + (size & 1)
+    if comm is None or audio is None:
+        raise ValueError("missing COMM/SSND chunk")
+    channels, _, bits, rate = comm
+    if bits == 16:
+        x = np.frombuffer(audio, ">i2").astype(np.float32) / 32767.0
+    elif bits == 24:
+        raw = np.frombuffer(audio, np.uint8).reshape(-1, 3)
+        i32 = np.zeros(raw.shape[0], "<i4")
+        b = i32.view(np.uint8).reshape(-1, 4)
+        b[:, 1:] = raw[:, ::-1]   # big-endian bytes into high little-endian
+        x = (i32 >> 8).astype(np.float32) / 8388607.0
+    elif bits == 32:
+        x = np.frombuffer(audio, ">i4").astype(np.float32) / 2147483647.0
+    else:
+        raise ValueError(f"unsupported aiff bit depth {bits}")
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def read_audio_file(path: str) -> tuple[np.ndarray, int]:
+    """Load a WAV or AIFF file -> (float32 mono waveform, sample rate).
+    Format sniffed from the header, like the reference's AudioFile::load."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] == b"FORM":
+        return decode_aiff(data)
+    return decode_wav(data)
+
+
 def write_audio_file(audio: np.ndarray, path: str, sample_rate: int,
                      bit_depth: int = 16) -> None:
     """Parity: reference write_audio_file (examples/cli/write_file.cpp)."""
