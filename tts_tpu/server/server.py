@@ -117,11 +117,11 @@ class ServerTask:
         self.sample_rate = 0
 
 
-BATCHABLE_ARCHS = ("parler-tts", "orpheus")
+BATCHABLE_ARCHS = ("parler-tts", "orpheus", "dia")
 
 
 class BatchedModelWorker:
-    """Continuous-batching dispatcher for one Parler or Orpheus model.
+    """Continuous-batching dispatcher for one Parler, Orpheus, or Dia model.
 
     Requests from many HTTP connections decode TOGETHER in one on-device
     program (runtime/batched_parler.py / runtime/batched_llama.py) — one
@@ -138,6 +138,10 @@ class BatchedModelWorker:
             self.engine = BatchedLlamaEngine(
                 runner.cfg, runner.weights, runner.tokenizer,
                 n_slots=n_slots, chunk=chunk)
+        elif self.arch == "dia":
+            from ..runtime.batched_dia import BatchedDiaEngine
+            self.engine = BatchedDiaEngine(
+                runner.cfg, runner.weights, n_slots=n_slots, chunk=chunk)
         else:
             from ..runtime.batched_parler import BatchedParlerEngine
             self.engine = BatchedParlerEngine(
