@@ -474,6 +474,29 @@ def dia_decode_chunk(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v,
     return st
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "max_steps",
+                                             "do_sample", "temperature",
+                                             "top_k", "top_p",
+                                             "repetition_penalty",
+                                             "mega_qtype", "n_tail"))
+def dia_decode_chunk_status(cfg: DiaConfig, w: DiaWeights, cross_k, cross_v,
+                            st: DiaDecodeState, *, n_steps: int,
+                            max_steps: int, do_sample: bool = True,
+                            temperature: float = 1.0, top_k: int = 0,
+                            top_p: float = 1.0,
+                            repetition_penalty: float = 1.0,
+                            mega=None, mega_qtype=None, vtail=None,
+                            n_tail=0):
+    """Chunk + packed [done, pos] status in ONE dispatch (each extra
+    dispatch/fetch costs a ~25-35 ms relay round trip)."""
+    st = dia_decode_chunk(
+        cfg, w, cross_k, cross_v, st, n_steps=n_steps, max_steps=max_steps,
+        do_sample=do_sample, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, mega=mega,
+        mega_qtype=mega_qtype, vtail=vtail, n_tail=n_tail)
+    return st, jnp.stack([st.done.astype(jnp.int32), st.pos])
+
+
 def dia_generate_tokens_chunked(cfg: DiaConfig, w: DiaWeights, cross_k,
                                 cross_v, key, *, max_steps: int,
                                 chunk: int | None = None, **gen_kw):
@@ -486,10 +509,11 @@ def dia_generate_tokens_chunked(cfg: DiaConfig, w: DiaWeights, cross_k,
     for c in sched:
         if n >= max_steps + cfg.max_delay + c:
             break
-        st = dia_decode_chunk(cfg, w, cross_k, cross_v, st, n_steps=c,
-                              max_steps=max_steps, **gen_kw)
+        st, status = dia_decode_chunk_status(cfg, w, cross_k, cross_v, st,
+                                             n_steps=c, max_steps=max_steps,
+                                             **gen_kw)
         n += c
-        if bool(np.asarray(st.done)):
+        if bool(np.asarray(status)[0]):
             break
     return st.out_tokens, st.pos
 
@@ -663,13 +687,15 @@ class DiaRunner(TTSRunner):
         up = self.dac.cfg.up_sampling_factor if self.dac is not None else 0
         n = 0
         while True:
-            st = dia_decode_chunk(cfg, self.weights, ck, cv, st,
-                                  n_steps=chunk, max_steps=max_steps, **gen_kw)
+            st, status = dia_decode_chunk_status(
+                cfg, self.weights, ck, cv, st, n_steps=chunk,
+                max_steps=max_steps, **gen_kw)
             n += chunk
-            done = bool(np.asarray(st.done)) or \
+            status_np = np.asarray(status)      # one fetch: [done, pos]
+            done = bool(status_np[0]) or \
                 n >= max_steps + cfg.max_delay + chunk
             codes = adjust_output_tokens(np.asarray(st.out_tokens),
-                                         int(st.pos), cfg)
+                                         int(status_np[1]), cfg)
             ready = codes.shape[0] if done else max(0, codes.shape[0] - margin)
             if self.dac is not None and ready > emitted:
                 lo = max(0, emitted - margin)

@@ -287,6 +287,29 @@ def orpheus_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
     return st
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "max_steps",
+                                             "do_sample", "temperature",
+                                             "top_k", "top_p",
+                                             "repetition_penalty",
+                                             "mega_qtype"))
+def orpheus_decode_chunk_status(cfg: OrpheusConfig, w: OrpheusWeights,
+                                st: OrpheusState, *, n_steps: int,
+                                max_steps: int, do_sample: bool = True,
+                                temperature: float = 1.0, top_k: int = 0,
+                                top_p: float = 1.0,
+                                repetition_penalty: float = 1.0,
+                                mega=None, mega_qtype=None):
+    """Chunk + packed [done, n_out] status in ONE dispatch (each extra
+    dispatch/fetch costs a ~25-35 ms relay round trip)."""
+    st = orpheus_decode_chunk(
+        cfg, w, st, n_steps=n_steps, max_steps=max_steps,
+        do_sample=do_sample, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, mega=mega,
+        mega_qtype=mega_qtype)
+    done = st.done | (st.n_out >= max_steps)
+    return st, jnp.stack([done.astype(jnp.int32), st.n_out])
+
+
 def orpheus_generate_tokens_chunked(cfg: OrpheusConfig, w: OrpheusWeights,
                                     first_token, prompt_len, kv_k, kv_v, key,
                                     *, max_steps: int, chunk: int | None = None,
@@ -304,10 +327,11 @@ def orpheus_generate_tokens_chunked(cfg: OrpheusConfig, w: OrpheusWeights,
     for c in sched:
         if n >= max_steps + c:
             break
-        st = orpheus_decode_chunk(cfg, w, st, n_steps=c,
-                                  max_steps=max_steps, **gen_kw)
+        st, status = orpheus_decode_chunk_status(cfg, w, st, n_steps=c,
+                                                 max_steps=max_steps,
+                                                 **gen_kw)
         n += c
-        if bool(np.asarray(st.done)):
+        if bool(np.asarray(status)[0]):
             break
     return st.out_tokens, st.n_out
 
@@ -486,13 +510,13 @@ class OrpheusRunner(TTSRunner):
         up = self.snac.cfg.up_sampling_factor if self.snac is not None else 0
         n = 1
         while True:
-            st = orpheus_decode_chunk(cfg, self.weights, st, n_steps=chunk,
-                                      mega=self._mega,
-                                      mega_qtype=self._mega_qtype,
-                                      max_steps=max_steps, **gen_kw)
+            st, status = orpheus_decode_chunk_status(
+                cfg, self.weights, st, n_steps=chunk, mega=self._mega,
+                mega_qtype=self._mega_qtype, max_steps=max_steps, **gen_kw)
             n += chunk
-            done = bool(np.asarray(st.done)) or n >= max_steps + chunk
-            n_out = min(int(st.n_out), max_steps)
+            status_np = np.asarray(status)      # one fetch: [done, n_out]
+            done = bool(status_np[0]) or n >= max_steps + chunk
+            n_out = min(int(status_np[1]), max_steps)
             heads = prepare_output_tokens(np.asarray(st.out_tokens), n_out)
             t = len(heads[2])
             ready = t if done else max(0, t - margin)

@@ -349,6 +349,31 @@ def _parler_not_done_jit(cfg: ParlerConfig, step, eos_seen, pos):
         (step < max_steps)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "use_cross",
+                                             "do_sample", "temperature",
+                                             "top_k", "top_p",
+                                             "repetition_penalty",
+                                             "mega_qtype"))
+def parler_decode_chunk_status(cfg: ParlerConfig, w: ParlerWeights,
+                               st: DecodeState, *, n_steps: int,
+                               use_cross: bool = True, do_sample: bool = True,
+                               temperature: float = 1.0, top_k: int = 0,
+                               top_p: float = 1.0,
+                               repetition_penalty: float = 1.0,
+                               mega=None, mega_qtype=None):
+    """Decode chunk + packed [continue, step] status in ONE dispatch. On the
+    remote-compile relay every extra dispatch/fetch costs a ~25-35 ms round
+    trip (tools/probe_ttfa.py), so the host loop reads one small status
+    array instead of dispatching a separate done-check."""
+    st = parler_decode_chunk(
+        cfg, w, st, n_steps=n_steps, use_cross=use_cross,
+        do_sample=do_sample, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, mega=mega,
+        mega_qtype=mega_qtype)
+    cont = _parler_not_done(cfg, st)
+    return st, jnp.stack([cont.astype(jnp.int32), st.step])
+
+
 def parler_generate_tokens_chunked(cfg: ParlerConfig, w: ParlerWeights,
                                    prompt_len, kv_k, kv_v, key,
                                    chunk: int | None = None, **gen_kw):
@@ -360,8 +385,9 @@ def parler_generate_tokens_chunked(cfg: ParlerConfig, w: ParlerWeights,
     sched = iter(lambda: chunk, None) if chunk else chunk_schedule()
     st = _parler_init_state(cfg, jnp.int32(prompt_len), kv_k, kv_v, key)
     for c in sched:
-        st = parler_decode_chunk(cfg, w, st, n_steps=c, **gen_kw)
-        if not bool(_parler_not_done_jit(cfg, st.step, st.eos_seen, st.pos)):
+        st, status = parler_decode_chunk_status(cfg, w, st, n_steps=c,
+                                                **gen_kw)
+        if not bool(np.asarray(status)[0]):
             break
     return st.out_tokens, st.step
 
@@ -622,13 +648,12 @@ class ParlerRunner(TTSRunner):
         sched = iter(lambda: chunk, None) if chunk else \
             chunk_schedule(first=32, cap=256)
         while True:
-            st = parler_decode_chunk(cfg, self.weights, st,
-                                     n_steps=next(sched),
-                                     mega=self._mega,
-                                     mega_qtype=self._mega_qtype, **gen_kw)
-            done = not bool(_parler_not_done_jit(cfg, st.step, st.eos_seen,
-                                                 st.pos))
-            n_steps = int(st.step)
+            st, status = parler_decode_chunk_status(
+                cfg, self.weights, st, n_steps=next(sched), mega=self._mega,
+                mega_qtype=self._mega_qtype, **gen_kw)
+            status_np = np.asarray(status)      # one small fetch: [cont, step]
+            done = not bool(status_np[0])
+            n_steps = int(status_np[1])
             codes = adjust_output_tokens(np.asarray(st.out_tokens), n_steps, cfg)
             # frames near the end may still change (delay window); hold back
             # `margin` frames until generation finishes
