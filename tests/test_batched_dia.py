@@ -6,10 +6,8 @@ decode per request, including the delay wind-down endgame.
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 import jax
-import jax.numpy as jnp
 
 from test_dia_megastep import fake_cross, tiny_cfg, tiny_weights
 
@@ -128,7 +126,6 @@ def test_dia_batched_server_roundtrip(tmp_path):
     import threading
     import urllib.request
     import time as _time
-    from tests.test_dia import make_cfg as dia_cfg_fn  # noqa: F401
     from tests.test_e2e_dia_orpheus import serialize_dia
     from tests.test_dia import make_cfg, make_weights
     from tests.test_dac import make_tiny_dac

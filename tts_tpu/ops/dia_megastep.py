@@ -265,7 +265,7 @@ def _dia_kernel(pos_ref, x_ref, inv_ref, qkv_c, qkv_s, occ_c, occ_s,
 
 def dia_megastep(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck, cv, vtail,
                  n_tail: int, *, qtype: int, n_heads: int, n_kv: int,
-                 fc: int = 4096):
+                 fc: int = 2048):  # 2048 measured 1.85 vs 2.40 ms/step at 4096
     """x (2, H) f32 (rows = CFG cond/uncond); kv_k/kv_v (L, 2, n_kv, CTX, D);
     ck/cv (L, 2*heads, Sb, D) bf16 + vtail (L, 2*heads, D) f32 from
     prep_dia_cross; pos = cache row. Returns (x_out (2, H) pre-final-norm,

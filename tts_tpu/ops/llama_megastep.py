@@ -201,6 +201,11 @@ def llama_megastep(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *, qtype: int,
                    rope_freq_factors=None, fc: int = 4096):
     """x (1, H) f32; kv_k/kv_v (L, n_kv, CTX, D) bf16/f32; pos = cache row.
 
+    fc: FFN phase slice. The pure-streaming probe favored 2048
+    (tools/probe_mega_grid.py) but the REAL Orpheus kernel measured slower
+    at 2048 (7.32 vs 6.05 ms/step) — the attention phase dominates its
+    pipeline; Dia (smaller hidden, cross-attn phase) wins with 2048.
+
     Returns (x_out (1, H) pre-final-RMS-norm, k_new (L, KV), v_new (L, KV));
     the caller writes the k/v rows at `pos` and applies final norm + LM
     head. Dispatches to the XLA reference off-TPU.
