@@ -578,7 +578,8 @@ def main() -> None:
 
     # --- end-to-end: decode + DAC-44k vocode (reference perf_battery scope,
     # perf_battery.cpp:25-118: mean generation + decode time) ---
-    from tts_tpu.models.codec.dac import DACRunner, dac_decode
+    from tts_tpu.models.codec.dac import (DACRunner, bf16_conv_weights,
+                                          dac_decode)
     dac_cfg, dac_w = build_dac_44k(np.random.default_rng(3))
     frames = jnp.asarray(
         (rng.integers(0, 1024, (512, cfg.n_output_heads))).astype(np.int32))

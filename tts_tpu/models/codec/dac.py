@@ -217,13 +217,37 @@ def load_dac_weights(r: GGUFReader, cfg: DACConfig,
     )
 
 
+def bf16_conv_weights(w: DACWeights) -> DACWeights:
+    """Cast the conv kernels (ndim >= 3 leaves) to bf16 so the vocoder's
+    MXU GEMMs run bf16-in/f32-accumulate (conv1d casts activations to match).
+    Codebooks, biases, and snake alphas stay f32. OPT-IN
+    (TTS_TPU_DAC_DTYPE=bfloat16): the reference records that reduced-
+    precision DAC costs no audible quality on the trained model
+    (perf_battery/README.md final note), but bf16 kernel rounding compounds
+    through the conv stack (~1 dB on a tiny random net,
+    tests/test_dac.py::test_bf16_conv_weights_close), so the default stays
+    f32 to hold the <0.1 dB waveform-delta contract."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "ndim") and a.ndim >= 3 else a, w)
+
+
+def _default_dac_dtype() -> str:
+    import os
+    return os.environ.get("TTS_TPU_DAC_DTYPE", "float32")
+
+
 class DACRunner:
     """Length-bucketed decode wrapper (reference dac_runner::run,
-    dac_model.cpp:172-212)."""
+    dac_model.cpp:172-212). Conv kernels run f32 by default;
+    TTS_TPU_DAC_DTYPE=bfloat16 opts into bf16 kernels (~1.5x vocode)."""
 
     def __init__(self, cfg: DACConfig, weights: DACWeights,
-                 buckets=(64, 128, 256, 512, 1024, 2580)):
+                 buckets=(64, 128, 256, 512, 1024, 2580),
+                 compute_dtype: str | None = None):
         self.cfg = cfg
+        if (compute_dtype or _default_dac_dtype()) == "bfloat16":
+            weights = bf16_conv_weights(weights)
         self.weights = weights
         self.buckets = buckets
 

@@ -41,7 +41,9 @@ def conv1d(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
         # slower at (768ch, T=4096) on v5e — tools/probe_conv2.py). Per-tap
         # dot over a shifted (B, T, C_in) view; XLA sinks the boundary
         # transposes through the surrounding elementwise ops.
-        xt = x.transpose(0, 2, 1)                       # (B, T, C_in)
+        # bf16 kernels (vocoder compute_dtype) pull the activations to bf16
+        # for the MXU passes; accumulation stays f32.
+        xt = x.transpose(0, 2, 1).astype(w.dtype)       # (B, T, C_in)
         xp = jnp.pad(xt, ((0, 0), (padding, padding), (0, 0))) if padding \
             else xt
         acc = None
@@ -56,21 +58,22 @@ def conv1d(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
                 preferred_element_type=jnp.float32)     # (B, T_out, C_out)
             acc = part if acc is None else acc + part
         if bias is not None:
-            acc = acc + bias[None, None, :]
+            acc = acc + bias[None, None, :].astype(acc.dtype)
         out = acc.transpose(0, 2, 1)
-        return out[0] if squeeze else out
+        return (out[0] if squeeze else out).astype(jnp.float32)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, _DN)
     out = lax.conv_general_dilated(
-        x, w,
+        x.astype(w.dtype), w,
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=dn,
         feature_group_count=groups,
+        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias[None, :, None]
-    return out[0] if squeeze else out
+    return (out[0] if squeeze else out).astype(jnp.float32)
 
 
 def conv_transpose_1d(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
@@ -101,8 +104,9 @@ def conv_transpose_1d(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
         t_out = (t - 1) * s - 2 * padding + k + output_padding
         m_taps = -(-k // s)                     # ceil(k / s)
         u = t + m_taps                          # covers all phases + slack
-        # channels-last internally (same rationale as conv1d)
-        xt = x.transpose(0, 2, 1)               # (B, T, C_in)
+        # channels-last internally (same rationale as conv1d); bf16 kernels
+        # pull activations to bf16 with f32 accumulation
+        xt = x.transpose(0, 2, 1).astype(w.dtype)   # (B, T, C_in)
         xp = jnp.pad(xt, ((0, 0), (m_taps - 1, u - t), (0, 0)))
         phases = []
         for r in range(s):
@@ -119,13 +123,13 @@ def conv_transpose_1d(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
                     preferred_element_type=jnp.float32)  # (B, U, C_out)
                 acc = part if acc is None else acc + part
             phases.append(acc if acc is not None
-                          else jnp.zeros((b, u, c_out), x.dtype))
+                          else jnp.zeros((b, u, c_out), jnp.float32))
         full = jnp.stack(phases, axis=2).reshape(b, u * s, c_out)
         out = lax.slice(full, (0, padding, 0), (b, padding + t_out, c_out))
         if bias is not None:
             out = out + bias[None, None, :]
         out = out.transpose(0, 2, 1)
-        return out[0] if squeeze else out
+        return (out[0] if squeeze else out).astype(jnp.float32)
     else:
         c_in = w.shape[0]
         co_g = w.shape[1]
@@ -133,16 +137,17 @@ def conv_transpose_1d(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
         wt = wg.transpose(0, 2, 1, 3).reshape(groups * co_g, c_in // groups, k)
     dn = lax.conv_dimension_numbers(x.shape, wt.shape, _DN)
     out = lax.conv_general_dilated(
-        x, wt,
+        x.astype(wt.dtype), wt,
         window_strides=(1,),
         padding=[(k - 1 - padding, k - 1 - padding + output_padding)],
         lhs_dilation=(stride,),
         dimension_numbers=dn,
         feature_group_count=groups,
+        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias[None, :, None]
-    return out[0] if squeeze else out
+    return (out[0] if squeeze else out).astype(jnp.float32)
 
 
 def conv1d_weight_norm(x: jax.Array, w_g: jax.Array, w_v: jax.Array,
