@@ -335,8 +335,14 @@ def test_stream_admission_and_metrics():
         for t in threads:
             t.join()
         assert codes.count(200) == 3          # queueing, not rejection
-        _, body, _ = _get(base + "/metrics")
-        m = json.loads(body)
+        # the client can see the terminating chunk before the server-side
+        # finally block records the stream — poll briefly
+        for _ in range(50):
+            _, body, _ = _get(base + "/metrics")
+            m = json.loads(body)
+            if m["streams_total"] >= 3:
+                break
+            time.sleep(0.05)
         assert m["streams_total"] >= 3
         assert m["requests_total"] >= 3
         assert m["audio_seconds_total"] > 0
