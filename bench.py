@@ -595,6 +595,23 @@ def main() -> None:
     t_voc = time.perf_counter() - t0
     e2e_rtf = audio_s / (wall + t_voc)
 
+    # opt-in bf16 conv kernels (TTS_TPU_DAC_DTYPE=bfloat16): measured as a
+    # detail field only — the headline e2e stays on the f32 default
+    try:
+        dac_w16 = bf16_conv_weights(dac_w)
+
+        def vocode16(fr):
+            wav = dac_decode(dac_cfg, dac_w16, fr, valid=jnp.int32(n))
+            return float(np.asarray(wav).sum())
+
+        vocode16(frames)
+        vocode16((frames + 3) % 1024)
+        t0 = time.perf_counter()
+        vocode16((frames + 4) % 1024)
+        t_voc16 = round(time.perf_counter() - t0, 4)
+    except Exception:  # noqa: BLE001
+        t_voc16 = None
+
     try:
         ttfa = bench_ttfa(cfg, weights, dac_cfg, dac_w)
     except Exception as e:  # noqa: BLE001
@@ -651,6 +668,7 @@ def main() -> None:
             "decode_rtf": round(rtf, 4),
             "decode_wall_s": round(wall, 4),
             "dac_vocode_s": round(t_voc, 4),
+            "dac_vocode_bf16_s": t_voc16,
             "steps_per_s": round(n / wall, 2),
             "tokens_per_s": round(9 * n / wall, 2),
             "batched_rtf_8_streams": round(batched_rtf, 3),
