@@ -174,9 +174,7 @@ def run(fc, use_kv, label, mode="base"):
 
 
 def main():
-    for args in ((4096, False, "dma", "dma"), (4096, False, "base", "base"),
-                 (4096, False, "double", "double"),
-                 (2048, False, "fc2k", "base")):
+    for args in ((4096, True, "kv4k", "base"), (2048, True, "kv2k", "base")):
         try:
             run(*args)
         except Exception as e:  # noqa: BLE001
