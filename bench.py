@@ -445,9 +445,11 @@ def bench_orpheus() -> dict:
         return st
 
     st = run(st)  # compile + warm
-    t0 = time.perf_counter()
-    run(st)
-    per = (time.perf_counter() - t0 - 0.033) / steps
+    per = 1e9
+    for _ in range(2):                 # min-of-2 vs relay jitter; chained
+        t0 = time.perf_counter()      # states keep inputs distinct
+        st = run(st)
+        per = min(per, (time.perf_counter() - t0 - 0.033) / steps)
     return {"orpheus_3b_q4_decode_rtf": round(ORPHEUS_AUDIO_PER_TOKEN / per, 3),
             "orpheus_ms_per_step": round(per * 1e3, 3),
             "orpheus_megakernel": mega is not None}
@@ -486,9 +488,11 @@ def bench_dia() -> dict:
         return st
 
     st = run(st)  # compile + warm
-    t0 = time.perf_counter()
-    run(st)
-    per = (time.perf_counter() - t0 - 0.033) / steps
+    per = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        st = run(st)
+        per = min(per, (time.perf_counter() - t0 - 0.033) / steps)
     return {"dia_1p6b_q4_decode_rtf": round(SAMPLES_PER_STEP / SAMPLE_RATE / per, 3),
             "dia_ms_per_step": round(per * 1e3, 3),
             "dia_megakernel": mega is not None}
@@ -569,9 +573,11 @@ def main() -> None:
         return int(np.asarray(out).sum()), int(steps)
 
     _, n = run(jax.random.PRNGKey(0))  # compile + warm
-    t0 = time.perf_counter()
-    _, n = run(jax.random.PRNGKey(1))
-    wall = time.perf_counter() - t0
+    wall = 1e9
+    for i in (1, 2):                   # min-of-2: relay jitter is ~10-30%
+        t0 = time.perf_counter()
+        _, n = run(jax.random.PRNGKey(i))
+        wall = min(wall, time.perf_counter() - t0)
 
     audio_s = n * SAMPLES_PER_STEP / SAMPLE_RATE
     rtf = audio_s / wall
@@ -590,9 +596,11 @@ def main() -> None:
 
     vocode(frames)               # compile
     vocode((frames + 1) % 1024)  # first-run autotune settles on 2nd call
-    t0 = time.perf_counter()
-    vocode((frames + 2) % 1024)  # distinct input defeats the relay cache
-    t_voc = time.perf_counter() - t0
+    t_voc = 1e9
+    for i in (2, 3, 4):          # distinct inputs defeat the relay cache
+        t0 = time.perf_counter()
+        vocode((frames + i) % 1024)
+        t_voc = min(t_voc, time.perf_counter() - t0)
     e2e_rtf = audio_s / (wall + t_voc)
 
     # opt-in bf16 conv kernels (TTS_TPU_DAC_DTYPE=bfloat16): measured as a
@@ -605,10 +613,12 @@ def main() -> None:
             return float(np.asarray(wav).sum())
 
         vocode16(frames)
-        vocode16((frames + 3) % 1024)
-        t0 = time.perf_counter()
-        vocode16((frames + 4) % 1024)
-        t_voc16 = round(time.perf_counter() - t0, 4)
+        t_voc16 = 1e9
+        for i in (5, 6, 7):
+            t0 = time.perf_counter()
+            vocode16((frames + i) % 1024)
+            t_voc16 = min(t_voc16, time.perf_counter() - t0)
+        t_voc16 = round(t_voc16, 4)
     except Exception:  # noqa: BLE001
         t_voc16 = None
 
