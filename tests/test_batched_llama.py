@@ -101,3 +101,34 @@ def test_engine_refills_slots(rng):
         assert len(r) == 3
         assert len(r[1]) == 2 * len(r[0])
         assert len(r[2]) == 4 * len(r[0])
+
+
+def test_oversized_prompt_rejected_at_submit(rng):
+    cfg, w = make_orpheus(rng)
+    eng = BatchedLlamaEngine(cfg, w, _Tok(), n_slots=2, chunk=8)
+    with pytest.raises(ValueError, match="too large"):
+        eng.submit("x" * (cfg.max_context_length + 8),
+                   GenerationConfig(sample=False))
+    assert not eng.pending and not eng.errors
+
+
+def test_failing_request_fails_only_itself(rng, monkeypatch):
+    """A request whose prefill raises (e.g. slipped past validation) is
+    recorded in engine.errors and the other in-flight requests complete."""
+    cfg, w = make_orpheus(rng)
+    eng = BatchedLlamaEngine(cfg, w, _Tok(), n_slots=1, chunk=8)
+    real = eng._prefill
+
+    def boom(text, config):
+        if "bad" in text:
+            raise ValueError("synthetic prefill failure")
+        return real(text, config)
+
+    monkeypatch.setattr(eng, "_prefill", boom)
+    good1 = eng.submit("ok one", GenerationConfig(sample=False))
+    bad = eng.submit("bad", GenerationConfig(sample=False))
+    good2 = eng.submit("ok two", GenerationConfig(sample=False))
+    eng.run_until_done(max_chunks=64)
+    assert bad in eng.errors and "synthetic" in eng.errors[bad]
+    assert good1 in eng.results and good2 in eng.results
+    assert bad not in eng.results

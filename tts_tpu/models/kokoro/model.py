@@ -133,7 +133,6 @@ class KokoroConfig:
                 c.style_half_size = int(ti.shape[-1]) // 2
                 break
         c.hidden_size = int(g("kokoro.duration_predictor.albert.hidden_size", c.hidden_size))
-        c.hidden_size = int(g("kokoro.duration_predictor.albert.hidden_size", c.hidden_size))
         c.n_attn_heads = int(g("kokoro.duration_predictor.albert.attn_heads", c.n_attn_heads))
         c.n_layers = int(g("kokoro.duration_predictor.albert.layers", c.n_layers))
         c.n_recurrence = int(g("kokoro.duration_predictor.albert.recurrence", c.n_recurrence))

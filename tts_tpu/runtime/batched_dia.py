@@ -283,9 +283,21 @@ class BatchedDiaEngine:
         self.slot_req: List[Optional[int]] = [None] * n_slots
         self.pending: List[tuple] = []
         self.results: Dict[int, np.ndarray] = {}
+        self.errors: Dict[int, str] = {}
         self._next_id = 0
 
+    def validate_prompt(self, text: str, config: GenerationConfig) -> None:
+        """Raise ValueError before queueing when the prompt exceeds the
+        engine's cross bucket (256 bytes by default, vs 1024 on the
+        single-stream path — the server routes oversized prompts there)."""
+        ids = tokenize_sentence(text, self.cfg)
+        if len(ids) > self.cross_bucket:
+            raise ValueError(
+                f"prompt ({len(ids)} bytes) exceeds the batched engine's "
+                f"cross bucket ({self.cross_bucket})")
+
     def submit(self, text: str, config: GenerationConfig) -> int:
+        self.validate_prompt(text, config)
         rid = self._next_id
         self._next_id += 1
         self.pending.append((rid, text, config))
@@ -319,7 +331,11 @@ class BatchedDiaEngine:
             if self.slot_req[slot] is not None or not self.pending:
                 continue
             rid, text, config = self.pending.pop(0)
-            ck, cv, vtail = self._encode(text)
+            try:
+                ck, cv, vtail = self._encode(text)
+            except Exception as e:  # noqa: BLE001 — fail only this request
+                self.errors[rid] = str(e)
+                continue
             self.state = insert_dia_request(
                 self.cfg, self.state, slot, ck, cv, vtail,
                 bool(config.sample), float(config.temperature),

@@ -214,9 +214,21 @@ class BatchedLlamaEngine:
         self.slot_req: List[Optional[int]] = [None] * n_slots
         self.pending: List[tuple] = []
         self.results: Dict[int, list] = {}
+        self.errors: Dict[int, str] = {}
         self._next_id = 0
 
+    def validate_prompt(self, text: str, config: GenerationConfig) -> None:
+        """Raise ValueError before queueing if the prompt can't fit (mirrors
+        the single-stream OrpheusRunner's clean error instead of the opaque
+        numpy broadcast _prefill would hit)."""
+        ids = self._prompt_ids(text, config.voice)
+        if len(ids) > self.cfg.max_context_length:
+            raise ValueError(
+                f"prompt ({len(ids)} tokens) too large for the context "
+                f"window ({self.cfg.max_context_length})")
+
     def submit(self, text: str, config: GenerationConfig) -> int:
+        self.validate_prompt(text, config)
         rid = self._next_id
         self._next_id += 1
         self.pending.append((rid, text, config))
@@ -234,6 +246,8 @@ class BatchedLlamaEngine:
     def _prefill(self, text: str, config: GenerationConfig):
         cfg = self.cfg
         ids = self._prompt_ids(text, config.voice)
+        if len(ids) > cfg.max_context_length:
+            raise ValueError("prompt too large for the context window")
         p = min(next((bk for bk in self.prompt_buckets if len(ids) <= bk),
                      cfg.max_context_length), cfg.max_context_length)
         toks = np.zeros(p, np.int32)
@@ -259,7 +273,11 @@ class BatchedLlamaEngine:
             if self.slot_req[slot] is not None or not self.pending:
                 continue
             rid, text, config = self.pending.pop(0)
-            kv_k, kv_v, plen, first = self._prefill(text, config)
+            try:
+                kv_k, kv_v, plen, first = self._prefill(text, config)
+            except Exception as e:  # noqa: BLE001 — fail only this request
+                self.errors[rid] = str(e)
+                continue
             self.state = insert_llama_request(
                 self.cfg, self.state, slot, kv_k, kv_v, plen, first,
                 bool(config.sample), float(config.temperature),

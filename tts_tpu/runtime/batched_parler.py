@@ -256,9 +256,21 @@ class BatchedParlerEngine:
         self.slot_req: List[Optional[int]] = [None] * n_slots
         self.pending: List[tuple] = []
         self.results: Dict[int, np.ndarray] = {}
+        self.errors: Dict[int, str] = {}
         self._next_id = 0
 
+    def validate_prompt(self, text: str, config: GenerationConfig) -> None:
+        """Raise ValueError if this engine cannot take the request (checked
+        BEFORE queueing so one bad request never reaches _fill_slots, where
+        a failure inside engine.step() used to abort every in-flight task)."""
+        ids = self.tokenizer.tokenize(text)
+        if len(ids) + 1 > self.prompt_buckets[-1]:
+            raise ValueError(
+                f"prompt ({len(ids) + 1} tokens) exceeds the batched "
+                f"engine's context window ({self.prompt_buckets[-1]})")
+
     def submit(self, text: str, config: GenerationConfig) -> int:
+        self.validate_prompt(text, config)
         rid = self._next_id
         self._next_id += 1
         self.pending.append((rid, text, config))
@@ -269,6 +281,8 @@ class BatchedParlerEngine:
         cfg = self.cfg
         ids = self.tokenizer.tokenize(text)
         ids.append(self.tokenizer.eos_token)
+        if len(ids) > self.prompt_buckets[-1]:
+            raise ValueError("prompt too large for the context window")
         p = next((bk for bk in self.prompt_buckets if len(ids) <= bk),
                  self.prompt_buckets[-1])
         tokens = np.zeros((p,), np.int32)
@@ -287,7 +301,11 @@ class BatchedParlerEngine:
             if self.slot_req[slot] is not None or not self.pending:
                 continue
             rid, text, config = self.pending.pop(0)
-            kv_k, kv_v, plen = self._prefill(text)
+            try:
+                kv_k, kv_v, plen = self._prefill(text)
+            except Exception as e:  # noqa: BLE001 — fail only this request
+                self.errors[rid] = str(e)
+                continue
             self.state = insert_request(
                 self.cfg, self.state, slot, kv_k, kv_v, plen,
                 bool(config.sample), float(config.temperature),

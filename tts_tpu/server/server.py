@@ -161,8 +161,19 @@ class BatchedModelWorker:
         self.engine.weights = self.runner.weights
 
     def _busy(self) -> bool:
-        return bool(self.engine.pending) or any(
+        return bool(self.engine.pending) or bool(self.engine.errors) or any(
             r is not None for r in self.engine.slot_req)
+
+    def _drain_errors(self) -> None:
+        """Deliver per-request engine failures (a bad request recorded by
+        _fill_slots fails only itself, never the other in-flight slots)."""
+        for rid, msg in list(self.engine.errors.items()):
+            del self.engine.errors[rid]
+            t = self.tasks.pop(rid, None)
+            if t is not None:
+                t.message = msg
+                t.success = False
+                t.event.set()
 
     def _loop(self) -> None:
         from ..common import SAMPLE_RATE_DAC
@@ -184,6 +195,7 @@ class BatchedModelWorker:
                     task = self.q.get(block=False)
                 except queue.Empty:
                     task = None
+            self._drain_errors()
             if not self._busy():
                 continue
             try:
@@ -318,6 +330,15 @@ class TTSServer:
     def submit(self, task: ServerTask) -> ServerTask:
         t0 = time.perf_counter()
         bw = self.batched_workers.get(task.model)
+        if bw is not None:
+            try:
+                bw.engine.validate_prompt(task.prompt, task.config)
+            except ValueError:
+                # prompt exceeds the batched engine's bucket (e.g. Dia's
+                # cross bucket 256 vs 1024 single-stream) — route it to the
+                # single-stream worker pool, which accepts larger prompts
+                # or raises its own clean per-request error
+                bw = None
         if bw is not None:
             bw.submit(task)
         else:
