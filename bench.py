@@ -416,11 +416,11 @@ def bench_orpheus() -> dict:
                                               orpheus_prefill)
     from tts_tpu.ops import sampling
 
-    from tts_tpu.models.orpheus.model import maybe_prep_llama_mega
+    from tts_tpu.models.orpheus.model import maybe_prep_llama_flat
 
     cfg, w = build_q4_orpheus()
     w = w._replace(head=w.head.fast_lm_head())  # bf16 scales, as the runner preps
-    mega, mega_qtype = maybe_prep_llama_mega(cfg, w)
+    mega, mega_qtype = maybe_prep_llama_flat(cfg, w)
     dt = kv_cache_dtype()
     shape = (cfg.n_layers, cfg.n_kv_heads, cfg.max_context_length,
              cfg.head_size)

@@ -1,0 +1,111 @@
+"""Flat-tile llama megastep (ops/llama_flat) — CPU tests.
+
+The kernel runs in Pallas interpret mode off-TPU, so these tests execute
+the REAL kernel logic (schedule, roles, accumulators, vectorized GQA
+attention, in-stream LM head) against the phase-megastep XLA reference;
+the on-chip run is covered by tools/test_megastep_tpu.py.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_llama_megastep import tiny_q4_llama
+
+from tts_tpu.models.orpheus.model import (OrpheusState, _rms,
+                                          maybe_prep_llama_flat,
+                                          orpheus_decode_chunk,
+                                          orpheus_prefill)
+from tts_tpu.ops import sampling
+from tts_tpu.ops.llama_flat import (LlamaFlatMega, M_ROLE, M_SID, R_ATTK,
+                                    R_ATTV, build_schedule,
+                                    llama_flat_megastep, prep_llama_flat)
+from tts_tpu.ops.llama_megastep import (llama_megastep_reference,
+                                        prep_llama_mega)
+from tts_tpu.ops.quant_matmul import quant_matmul_xla
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_schedule_invariants():
+    m = build_schedule(2, 256, 512, 512, 256, 256, 256)
+    role, sid = m[M_ROLE], m[M_SID]
+    att = (role == R_ATTK) | (role == R_ATTV)
+    # sid advances by one exactly on weight tiles and stalls on attention
+    d = np.diff(sid)
+    assert (d[~att[:-1]] == 1).all()
+    assert (d[att[:-1]] == 0).all()
+    assert sid[0] == 0 and sid[-1] == (~att).sum() - 1
+
+
+def test_flat_matches_phase_reference(rng):
+    cfg, w = tiny_q4_llama(rng)
+    mega, qtype = prep_llama_mega(w.layers)
+    flat = prep_llama_flat(mega, w.head, w.out_norm, qtype, cfg.vocab_size,
+                           cfg.n_attn_heads, cfg.n_kv_heads)
+    L, H, nkv, d = (cfg.n_layers, cfg.hidden_size, cfg.n_kv_heads,
+                    cfg.head_size)
+    ctx = cfg.max_context_length
+    kv = rng.standard_normal((2, L, nkv, ctx, d)).astype(np.float32) * 0.3
+    kv_k, kv_v = jnp.asarray(kv[0]), jnp.asarray(kv[1])
+    x = jnp.asarray(rng.standard_normal((1, H)).astype(np.float32)) * 0.5
+    pos = 41
+
+    lg, kn, vn = llama_flat_megastep(
+        flat, x, kv_k, kv_v, jnp.int32(pos), qtype=qtype,
+        n_heads=cfg.n_attn_heads, n_kv=nkv, rope_base=cfg.rope_theta,
+        rope_freq_factors=w.rope_freqs, interpret=True)
+    assert lg.shape == (1, flat.vocab_pad)
+
+    xo, kr, vr = llama_megastep_reference(
+        mega, x, kv_k, kv_v, jnp.int32(pos), qtype=qtype,
+        n_heads=cfg.n_attn_heads, n_kv=nkv, rope_base=cfg.rope_theta,
+        rope_freq_factors=w.rope_freqs)
+    h = _rms(xo, w.out_norm)
+    lg_ref = quant_matmul_xla(h, w.head.codes_t, w.head.scales_t,
+                              w.head.qtype)
+
+    got = np.asarray(lg[0, : cfg.vocab_size])
+    want = np.asarray(lg_ref[0])
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel
+    # padded logits lanes are exact partial sums of zero weights
+    np.testing.assert_allclose(np.asarray(lg[0, cfg.vocab_size:]), 0.0)
+    for a, b in ((kn, kr), (vn, vr)):
+        r = np.abs(np.asarray(a) - np.asarray(b)).max() / \
+            (np.abs(np.asarray(b)).max() + 1e-9)
+        assert r < 1e-2, r
+
+
+def test_flat_decode_chunk_greedy_parity(rng, monkeypatch):
+    monkeypatch.setenv("TTS_TPU_MEGAKERNEL", "1")
+    cfg, w = tiny_q4_llama(rng)
+    flat, qtype = maybe_prep_llama_flat(cfg, w)
+    assert isinstance(flat, LlamaFlatMega)
+    L, nkv, d, ctx = (cfg.n_layers, cfg.n_kv_heads, cfg.head_size,
+                      cfg.max_context_length)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, 16).astype(np.int32))
+    logits, kv_k, kv_v = orpheus_prefill(cfg, w, toks, jnp.int32(16),
+                                         jnp.zeros((L, nkv, ctx, d)),
+                                         jnp.zeros((L, nkv, ctx, d)))
+    first = jnp.argmax(logits).astype(jnp.int32)
+
+    def init():
+        return OrpheusState(
+            kv_k=kv_k, kv_v=kv_v, pos=jnp.int32(16), token_in=first,
+            n_out=jnp.int32(1), done=jnp.asarray(False),
+            out_tokens=jnp.zeros((64,), jnp.int32).at[0].set(first),
+            sampler_state=sampling.init_state(1), key=jax.random.PRNGKey(0))
+
+    st_m = orpheus_decode_chunk(cfg, w, init(), n_steps=10, max_steps=64,
+                                do_sample=False, mega=flat, mega_qtype=qtype)
+    st_f = orpheus_decode_chunk(cfg, w, init(), n_steps=10, max_steps=64,
+                                do_sample=False)
+    a = np.asarray(st_m.out_tokens[:11])
+    b = np.asarray(st_f.out_tokens[:11])
+    agree = (a == b).mean()
+    assert agree > 0.7, (agree, a, b)

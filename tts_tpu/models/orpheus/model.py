@@ -228,6 +228,23 @@ def maybe_prep_llama_mega(cfg: OrpheusConfig, w: OrpheusWeights):
         return None, None
 
 
+def maybe_prep_llama_flat(cfg: OrpheusConfig, w: OrpheusWeights):
+    """Prefer the flat-tile megastep (ops/llama_flat: whole stack + LM head
+    in one fine-grained weight stream); fall back to the phase megastep,
+    then to the per-matmul path. Returns (mega_or_flat_or_None, qtype)."""
+    mega, qtype = maybe_prep_llama_mega(cfg, w)
+    if mega is None:
+        return None, None
+    try:
+        from ...ops.llama_flat import prep_llama_flat
+        flat = prep_llama_flat(mega, w.head, w.out_norm, qtype,
+                               cfg.vocab_size, cfg.n_attn_heads,
+                               cfg.n_kv_heads)
+        return flat, qtype
+    except ValueError:
+        return mega, qtype
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "max_steps",
                                              "do_sample", "temperature",
                                              "top_k", "top_p",
@@ -246,7 +263,23 @@ def orpheus_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
     def step(st: OrpheusState, _):
         now_done = st.done | (st.n_out >= max_steps)
         x = take_rows(w.embd, st.token_in[None])
-        if mega is not None:
+        from ...ops.llama_flat import LlamaFlatMega
+        if isinstance(mega, LlamaFlatMega):
+            from ...ops.llama_flat import llama_flat_megastep
+            L, nkv, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_size
+            lg, kn, vn = llama_flat_megastep(
+                mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
+                n_heads=cfg.n_attn_heads, n_kv=nkv,
+                rope_base=cfg.rope_theta, rope_freq_factors=w.rope_freqs,
+                interpret=jax.devices()[0].platform != "tpu")
+            kv_k2 = jax.lax.dynamic_update_slice(
+                st.kv_k, kn.reshape(L, nkv, 1, d).astype(st.kv_k.dtype),
+                (0, 0, st.pos, 0))
+            kv_v2 = jax.lax.dynamic_update_slice(
+                st.kv_v, vn.reshape(L, nkv, 1, d).astype(st.kv_v.dtype),
+                (0, 0, st.pos, 0))
+            logits = lg[:, : cfg.vocab_size]
+        elif mega is not None:
             from ...ops.llama_megastep import llama_megastep
             L, nkv, d = cfg.n_layers, cfg.n_kv_heads, cfg.head_size
             xo, kn, vn = llama_megastep(
@@ -259,12 +292,12 @@ def orpheus_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
             kv_v2 = jax.lax.dynamic_update_slice(
                 st.kv_v, vn.reshape(L, nkv, 1, d).astype(st.kv_v.dtype),
                 (0, 0, st.pos, 0))
-            h = _rms(xo, w.out_norm)
+            logits = matmul(_rms(xo, w.out_norm), w.head)[:, : cfg.vocab_size]
         else:
             bias = jnp.where(j <= st.pos, 0.0, -jnp.inf)
             h, kv_k2, kv_v2 = _llama_step(cfg, w, x, st.pos[None], st.kv_k,
                                           st.kv_v, st.pos, bias)
-        logits = matmul(h, w.head)[:, : cfg.vocab_size]
+            logits = matmul(h, w.head)[:, : cfg.vocab_size]
         key, sub = jax.random.split(st.key)
         toks, s_state = sampling.sample_or_greedy(
             sub, logits, st.sampler_state, do_sample=do_sample,
@@ -394,7 +427,9 @@ class OrpheusRunner(TTSRunner):
             # codes — the head is ~25% of decode-step HBM+VPU cost
             self.weights = self.weights._replace(
                 head=self.weights.head.fast_lm_head())
-        self._mega, self._mega_qtype = maybe_prep_llama_mega(
+        # the flat megastep folds the LM head into its weight stream; it
+        # preps from the (padded) head above — prefill still uses w.head
+        self._mega, self._mega_qtype = maybe_prep_llama_flat(
             cfg, self.weights)
 
     def list_voices(self):

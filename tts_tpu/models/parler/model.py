@@ -374,6 +374,49 @@ def parler_decode_chunk_status(cfg: ParlerConfig, w: ParlerWeights,
     return st, jnp.stack([cont.astype(jnp.int32), st.step])
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "use_cross",
+                                             "do_sample", "temperature",
+                                             "top_k", "top_p",
+                                             "repetition_penalty",
+                                             "mega_qtype"))
+def parler_stream_first(cfg: ParlerConfig, w: ParlerWeights, tokens,
+                        prompt_len, seed, *, n_steps: int,
+                        use_cross: bool = True, do_sample: bool = True,
+                        temperature: float = 1.0, top_k: int = 0,
+                        top_p: float = 1.0, repetition_penalty: float = 1.0,
+                        mega=None, mega_qtype=None):
+    """The ENTIRE first streaming round — KV-cache allocation, prompt
+    prefill, state init, and the first decode chunk — fused into one
+    dispatch, returning (state, packed) where packed (1 + n_steps, nh) i32
+    stacks [continue, step, 0...] over the first chunk's out_tokens rows.
+
+    Rationale (tools/probe_ttfa.py): each dispatch or fetch costs a ~33 ms
+    relay round trip; the old path spent ~600 ms on zeros/prefill/init/
+    chunk/status/out_tokens as separate dispatches. One dispatch + ONE
+    small fetch (this packed array) + one vocode round gets p50 TTFA under
+    300 ms (BASELINE north star)."""
+    from ...common import kv_cache_dtype
+    dt = kv_cache_dtype()
+    shape = (cfg.n_layers, cfg.n_attn_heads, cfg.max_ctx_length,
+             cfg.head_size)
+    kv_k, kv_v = parler_prefill(cfg, w, tokens, jnp.zeros(shape, dt),
+                                jnp.zeros(shape, dt), use_cross=use_cross)
+    st = _parler_init_state(cfg, prompt_len.astype(jnp.int32), kv_k, kv_v,
+                            jax.random.PRNGKey(seed))
+    st = parler_decode_chunk(
+        cfg, w, st, n_steps=n_steps, use_cross=use_cross,
+        do_sample=do_sample, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, mega=mega,
+        mega_qtype=mega_qtype)
+    cont = _parler_not_done(cfg, st)
+    status = jnp.stack([cont.astype(jnp.int32), st.step])
+    nh = cfg.n_output_heads
+    packed = jnp.concatenate(
+        [jnp.pad(status[None, :], ((0, 0), (0, nh - 2))),
+         st.out_tokens[:n_steps]], axis=0)
+    return st, packed
+
+
 def parler_generate_tokens_chunked(cfg: ParlerConfig, w: ParlerWeights,
                                    prompt_len, kv_k, kv_v, key,
                                    chunk: int | None = None, **gen_kw):
@@ -630,31 +673,41 @@ class ParlerRunner(TTSRunner):
         p = self._bucket(len(ids))
         tokens = np.zeros((p,), np.int32)
         tokens[: len(ids)] = ids
-        kv_k, kv_v = self._empty_kv()
-        kv_k, kv_v = parler_prefill(cfg, self.weights, jnp.asarray(tokens),
-                                    kv_k, kv_v, use_cross=cfg.use_cross_attn)
         seed = config.seed if config.seed is not None else np.random.randint(2**31)
-        st = _parler_init_state(cfg, jnp.int32(len(ids)), kv_k, kv_v,
-                                jax.random.PRNGKey(seed))
         gen_kw = dict(use_cross=cfg.use_cross_attn, do_sample=config.sample,
                       temperature=float(config.temperature),
                       top_k=int(config.top_k), top_p=float(config.top_p),
                       repetition_penalty=float(config.repetition_penalty))
         emitted = 0
         up = self.dac.cfg.up_sampling_factor if self.dac is not None else 0
-        # small first chunks minimize time-to-first-audio; growth amortizes
-        # the per-chunk host round-trip once the stream is ahead of realtime
+        # first round: ONE fused dispatch (kv + prefill + first chunk) and
+        # ONE small fetch; the small first chunk minimizes time-to-first-
+        # audio, growth amortizes the per-chunk host round-trip after
         from ...common import chunk_schedule
+        first = chunk or 32
         sched = iter(lambda: chunk, None) if chunk else \
-            chunk_schedule(first=32, cap=256)
+            chunk_schedule(first=64, cap=256)
+        st, packed = parler_stream_first(
+            cfg, self.weights, jnp.asarray(tokens), jnp.int32(len(ids)),
+            jnp.int32(seed), n_steps=first, mega=self._mega,
+            mega_qtype=self._mega_qtype, **gen_kw)
+        packed_np = np.asarray(packed)          # the one first-round fetch
+        first_round = True
         while True:
-            st, status = parler_decode_chunk_status(
-                cfg, self.weights, st, n_steps=next(sched), mega=self._mega,
-                mega_qtype=self._mega_qtype, **gen_kw)
-            status_np = np.asarray(status)      # one small fetch: [cont, step]
-            done = not bool(status_np[0])
-            n_steps = int(status_np[1])
-            codes = adjust_output_tokens(np.asarray(st.out_tokens), n_steps, cfg)
+            if first_round:
+                first_round = False
+                done = not bool(packed_np[0, 0])
+                n_steps = int(packed_np[0, 1])
+                head = packed_np[1:]
+            else:
+                st, status = parler_decode_chunk_status(
+                    cfg, self.weights, st, n_steps=next(sched),
+                    mega=self._mega, mega_qtype=self._mega_qtype, **gen_kw)
+                status_np = np.asarray(status)  # one small fetch: [cont, step]
+                done = not bool(status_np[0])
+                n_steps = int(status_np[1])
+                head = np.asarray(st.out_tokens)
+            codes = adjust_output_tokens(head, n_steps, cfg)
             # frames near the end may still change (delay window); hold back
             # `margin` frames until generation finishes
             ready = codes.shape[0] if done else max(0, codes.shape[0] - margin)
