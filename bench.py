@@ -420,7 +420,8 @@ def bench_orpheus() -> dict:
 
     cfg, w = build_q4_orpheus()
     w = w._replace(head=w.head.fast_lm_head())  # bf16 scales, as the runner preps
-    mega, mega_qtype = maybe_prep_llama_flat(cfg, w)
+    mega, mega_qtype = maybe_prep_llama_flat(cfg, w,
+                                             ctx=cfg.max_context_length)
     dt = kv_cache_dtype()
     shape = (cfg.n_layers, cfg.n_kv_heads, cfg.max_context_length,
              cfg.head_size)
@@ -558,8 +559,9 @@ def main() -> None:
     tokens = jnp.asarray(rng.integers(0, 900, prompt_len).astype(np.int32))
     key = jax.random.PRNGKey(0)
 
-    from tts_tpu.models.parler.model import maybe_prep_mega
-    mega, mega_qtype = maybe_prep_mega(cfg, weights)
+    from tts_tpu.models.parler.model import (maybe_prep_mega,
+                                             maybe_prep_parler_flat)
+    mega, mega_qtype = maybe_prep_parler_flat(cfg, weights)
 
     def run(k):
         kv_k, kv_v = parler_prefill(cfg, weights, tokens, kv_k0, kv_v0)
@@ -635,17 +637,20 @@ def main() -> None:
                                                 init_batched_state,
                                                 insert_request)
     B = 8
+    # the batched engine runs the phase-megastep batched kernel (the flat
+    # stream is the single-stream path)
+    bmega, bmega_qtype = maybe_prep_mega(cfg, weights)
     bst = init_batched_state(cfg, B, jax.random.PRNGKey(2))
     kv_k, kv_v = parler_prefill(cfg, weights, tokens, kv_k0, kv_v0)
     for slot in range(B):
         bst = insert_request(cfg, bst, slot, kv_k, kv_v, prompt_len,
                              True, 1.0, 50, 1.0, 1.0)
-    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64, mega=mega,
-                               mega_qtype=mega_qtype)  # compile+warm
+    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64, mega=bmega,
+                               mega_qtype=bmega_qtype)  # compile+warm
     int(np.asarray(bst.out_tokens).sum())
     t0 = time.perf_counter()
-    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64, mega=mega,
-                               mega_qtype=mega_qtype)
+    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64, mega=bmega,
+                               mega_qtype=bmega_qtype)
     int(np.asarray(bst.out_tokens).sum())
     bwall = time.perf_counter() - t0
     batched_rtf = B * 64 * SAMPLES_PER_STEP / SAMPLE_RATE / bwall

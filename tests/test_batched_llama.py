@@ -103,6 +103,46 @@ def test_engine_refills_slots(rng):
         assert len(r[2]) == 4 * len(r[0])
 
 
+def test_batched_megastep_matches_per_matmul(rng, monkeypatch):
+    """The batched megakernel path (ops/llama_megastep_batched; XLA
+    reference off-TPU) produces the same greedy streams as the
+    per-projection batched decode."""
+    monkeypatch.setenv("TTS_TPU_MEGAKERNEL", "1")
+    from test_llama_megastep import tiny_q4_llama
+    from tts_tpu.models.orpheus.model import maybe_prep_llama_mega
+    cfg, w = tiny_q4_llama(rng)
+    mega, qtype = maybe_prep_llama_mega(cfg, w)
+    assert mega is not None
+    from tts_tpu.common import kv_cache_dtype
+    dt = kv_cache_dtype()
+    ctx = -(-(cfg.max_context_length + cfg.max_generation_size) // 256) * 256
+    shape = (cfg.n_layers, cfg.n_kv_heads, ctx, cfg.head_size)
+
+    def build(with_mega):
+        st = init_batched_llama_state(cfg, 2, jax.random.PRNGKey(1))
+        for slot, ids in enumerate(([5, 9, 3], [7, 1])):
+            toks = np.zeros(16, np.int32)
+            toks[: len(ids)] = ids
+            logits, kv_k, kv_v = orpheus_prefill(
+                cfg, w, jnp.asarray(toks), jnp.int32(len(ids)),
+                jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+            first = jnp.argmax(logits).astype(jnp.int32)
+            st = insert_llama_request(cfg, st, slot, kv_k, kv_v, len(ids),
+                                      first, False, 1.0, 0, 1.0, 1.0)
+        kw = dict(mega=mega, mega_qtype=qtype) if with_mega else {}
+        for _ in range(3):
+            st = batched_llama_decode_chunk(cfg, w, st, n_steps=6, **kw)
+        return st
+
+    st_m, st_f = build(True), build(False)
+    for slot in range(2):
+        n = min(int(st_m.n_out[slot]), int(st_f.n_out[slot]))
+        a = np.asarray(st_m.out_tokens[slot])[:n]
+        b = np.asarray(st_f.out_tokens[slot])[:n]
+        agree = (a == b).mean()
+        assert agree > 0.7, (slot, agree, a, b)
+
+
 def test_oversized_prompt_rejected_at_submit(rng):
     cfg, w = make_orpheus(rng)
     eng = BatchedLlamaEngine(cfg, w, _Tok(), n_slots=2, chunk=8)

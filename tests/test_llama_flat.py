@@ -18,8 +18,8 @@ from tts_tpu.models.orpheus.model import (OrpheusState, _rms,
                                           orpheus_decode_chunk,
                                           orpheus_prefill)
 from tts_tpu.ops import sampling
-from tts_tpu.ops.llama_flat import (LlamaFlatMega, M_ROLE, M_SID, R_ATTK,
-                                    R_ATTV, build_schedule,
+from tts_tpu.ops.llama_flat import (LlamaFlatMega, M_ROLE, M_SID, R_ATTF,
+                                    R_ATTP, build_schedule,
                                     llama_flat_megastep, prep_llama_flat)
 from tts_tpu.ops.llama_megastep import (llama_megastep_reference,
                                         prep_llama_mega)
@@ -32,9 +32,11 @@ def rng():
 
 
 def test_schedule_invariants():
-    m = build_schedule(2, 256, 512, 512, 256, 256, 256)
+    m = build_schedule(2, 256, 512, 512, 256, 256, 256, 4)
     role, sid = m[M_ROLE], m[M_SID]
-    att = (role == R_ATTK) | (role == R_ATTV)
+    att = (role == R_ATTP) | (role == R_ATTF)
+    # 4 page phases + 1 final per layer
+    assert att.sum() == 2 * 5
     # sid advances by one exactly on weight tiles and stalls on attention
     d = np.diff(sid)
     assert (d[~att[:-1]] == 1).all()
@@ -42,18 +44,19 @@ def test_schedule_invariants():
     assert sid[0] == 0 and sid[-1] == (~att).sum() - 1
 
 
-def test_flat_matches_phase_reference(rng):
-    cfg, w = tiny_q4_llama(rng)
+@pytest.mark.parametrize("ctx,pos", [(128, 41), (1024, 700), (1024, 3)])
+def test_flat_matches_phase_reference(rng, ctx, pos):
+    """ctx=1024 runs 2 flash pages (pick_page -> 512); pos=3 leaves page 1
+    dead (clamped index map + skipped compute)."""
+    cfg, w = tiny_q4_llama(rng, ctx=ctx)
     mega, qtype = prep_llama_mega(w.layers)
     flat = prep_llama_flat(mega, w.head, w.out_norm, qtype, cfg.vocab_size,
-                           cfg.n_attn_heads, cfg.n_kv_heads)
+                           cfg.n_attn_heads, cfg.n_kv_heads, ctx)
     L, H, nkv, d = (cfg.n_layers, cfg.hidden_size, cfg.n_kv_heads,
                     cfg.head_size)
-    ctx = cfg.max_context_length
     kv = rng.standard_normal((2, L, nkv, ctx, d)).astype(np.float32) * 0.3
     kv_k, kv_v = jnp.asarray(kv[0]), jnp.asarray(kv[1])
     x = jnp.asarray(rng.standard_normal((1, H)).astype(np.float32)) * 0.5
-    pos = 41
 
     lg, kn, vn = llama_flat_megastep(
         flat, x, kv_k, kv_v, jnp.int32(pos), qtype=qtype,
@@ -84,7 +87,7 @@ def test_flat_matches_phase_reference(rng):
 def test_flat_decode_chunk_greedy_parity(rng, monkeypatch):
     monkeypatch.setenv("TTS_TPU_MEGAKERNEL", "1")
     cfg, w = tiny_q4_llama(rng)
-    flat, qtype = maybe_prep_llama_flat(cfg, w)
+    flat, qtype = maybe_prep_llama_flat(cfg, w, ctx=cfg.max_context_length)
     assert isinstance(flat, LlamaFlatMega)
     L, nkv, d, ctx = (cfg.n_layers, cfg.n_kv_heads, cfg.head_size,
                       cfg.max_context_length)

@@ -34,7 +34,7 @@ def main():
     cfg, w = bench.build_q4_orpheus()
     w = w._replace(head=w.head.fast_lm_head())
     t0 = time.perf_counter()
-    flat, qtype = maybe_prep_llama_flat(cfg, w)
+    flat, qtype = maybe_prep_llama_flat(cfg, w, ctx=cfg.max_context_length)
     print(f"prep: {type(flat).__name__} in {time.perf_counter()-t0:.1f}s",
           flush=True)
     assert isinstance(flat, LlamaFlatMega)
@@ -113,7 +113,7 @@ def main():
         t0 = time.perf_counter()
         st = run(st)
         best = min(best, (time.perf_counter() - t0 - 0.033) / STEPS)
-    gb = (flat.codes.nbytes + flat.scales.nbytes) / 1e9
+    gb = (flat.codes0.nbytes + flat.scales0.nbytes + flat.codes1.nbytes + flat.scales1.nbytes) / 1e9
     print(f"flat decode: {best*1e3:.3f} ms/step  stream {gb:.2f} GB "
           f"-> {gb/best:.0f} GB/s  (round-4: 6.008 ms)", flush=True)
 

@@ -40,7 +40,7 @@ def main():
 
     cfg, w = bench.build_q4_orpheus()
     w = w._replace(head=w.head.fast_lm_head())
-    flat, qtype = maybe_prep_llama_flat(cfg, w)
+    flat, qtype = maybe_prep_llama_flat(cfg, w, ctx=cfg.max_context_length)
     dt = kv_cache_dtype()
     shape = (cfg.n_layers, cfg.n_kv_heads, cfg.max_context_length,
              cfg.head_size)
@@ -62,7 +62,7 @@ def main():
         return c
 
     t = timed(run_kernel, flat, w.rope_freqs, x, kv_k, kv_v)
-    gb = (flat.codes.nbytes + flat.scales.nbytes) / 1e9
+    gb = (flat.codes0.nbytes + flat.scales0.nbytes + flat.codes1.nbytes + flat.scales1.nbytes) / 1e9
     print(f"kernel only : {t*1e3:7.3f} ms/step ({gb/t:.0f} GB/s)", flush=True)
 
     logits = jnp.asarray(rng.standard_normal((1, cfg.vocab_size)),
@@ -76,7 +76,8 @@ def main():
             lg, key, st = c
             key, sub = jax.random.split(key)
             toks, st = sampling.sample_or_greedy(
-                sub, lg, st, do_sample=True, top_k=50)
+                sub, lg, st, do_sample=True, top_k=50, temperature=1.0,
+                top_p=1.0, repetition_penalty=1.0)
             return (lg + toks[0] * 1e-9, key, st), ()
         c, _ = jax.lax.scan(step, (logits, key, st), None, length=STEPS)
         return c[0]

@@ -174,7 +174,8 @@ def run(label, tn, kk, bubble=False, mode="base"):
     def loop(x, codes, scales):
         def step(c, _):
             y = call(c, codes, scales)
-            return c + y[:, :c.shape[1]] * 1e-9, ()
+            nn = min(y.shape[1], c.shape[1])
+            return c.at[:, :nn].add(y[:, :nn] * 1e-9), ()
         c, _ = jax.lax.scan(step, x, None, length=STEPS)
         return c
 
@@ -192,9 +193,180 @@ def run(label, tn, kk, bubble=False, mode="base"):
           f"{nbytes/1e9:.2f} GB -> {nbytes/best/1e9:6.1f} GB/s", flush=True)
 
 
+def run_dyn(label, tn, kk, n_maps=2):
+    """Like run() but the tile index comes from a PREFETCHED SCALAR array
+    through a dynamic index map (the real kernel's pattern) instead of the
+    static identity map — isolates the scalar-core map-evaluation cost."""
+    layer_bytes = 3072 // 2 * (5120 + 3072 + 2 * 8192) + 8192 // 2 * 3072
+    total = 28 * layer_bytes + 3072 // 2 * 157696
+    tile_bytes = (kk // 2) * tn
+    n_tiles = total // tile_bytes
+    key = jax.random.PRNGKey(0)
+    codes = jax.random.randint(key, (n_tiles, kk // 2, tn), -128, 128,
+                               jnp.int8)
+    scales = (jax.random.uniform(key, (n_tiles, kk // 32, tn),
+                                 jnp.float32) * 0.01).astype(jnp.bfloat16)
+    meta = jnp.asarray(np.arange(n_tiles, dtype=np.int32)[None, :])
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, kk)),
+                    jnp.float32)
+
+    def _dk(meta_ref, x_ref, c_ref, s_ref, o_ref, acc, *, n_tiles):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        part = _dqdot(x_ref[:], c_ref[0], s_ref[0], 8.0)
+        acc[:, : part.shape[1]] += part * 1e-6
+
+        @pl.when(t == n_tiles - 1)
+        def _():
+            o_ref[:] = acc[:]
+
+    def dmap(t, m):
+        return (m[0, t], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, kk), lambda t, m: (0, 0)),
+            pl.BlockSpec((1, kk // 2, tn), dmap),
+            pl.BlockSpec((1, kk // 32, tn), dmap),
+        ],
+        out_specs=pl.BlockSpec((8, 2048), lambda t, m: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((8, 2048), jnp.float32)],
+    )
+    call = pl.pallas_call(
+        functools.partial(_dk, n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, 2048), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )
+
+    @jax.jit
+    def loop(meta, x, codes, scales):
+        def step(c, _):
+            y = call(meta, c, codes, scales)
+            return c + y[:, :c.shape[1]] * 1e-9, ()
+        c, _ = jax.lax.scan(step, x, None, length=STEPS)
+        return c
+
+    out = loop(meta, x, codes, scales)
+    np.asarray(out).sum()
+    best = 1e9
+    for i in range(3):
+        xi = x + np.float32((time.time() * 997) % 100 + i) * 1e-4
+        t0 = time.perf_counter()
+        out = loop(meta, xi, codes, scales)
+        np.asarray(out).sum()
+        best = min(best, (time.perf_counter() - t0 - 0.033) / STEPS)
+    nbytes = n_tiles * (tile_bytes + (kk // 32) * tn * 2)
+    print(f"{label:10s}: {n_tiles} tiles  {best*1e3:7.3f} ms/step  "
+          f"{nbytes/1e9:.2f} GB -> {nbytes/best/1e9:6.1f} GB/s", flush=True)
+
+
+def run_branchy(label, tn, kk, n_roles=7):
+    """Pure stream with a role-dispatch body: n_roles pl.when branches per
+    grid step, only one taken (the real kernel's shape). Isolates per-step
+    branch/dispatch overhead."""
+    layer_bytes = 3072 // 2 * (5120 + 3072 + 2 * 8192) + 8192 // 2 * 3072
+    total = 28 * layer_bytes + 3072 // 2 * 157696
+    tile_bytes = (kk // 2) * tn
+    n_tiles = total // tile_bytes
+    key = jax.random.PRNGKey(0)
+    codes = jax.random.randint(key, (n_tiles, kk // 2, tn), -128, 128,
+                               jnp.int8)
+    scales = (jax.random.uniform(key, (n_tiles, kk // 32, tn),
+                                 jnp.float32) * 0.01).astype(jnp.bfloat16)
+    meta = jnp.asarray(
+        np.stack([np.arange(n_tiles, dtype=np.int32),
+                  np.arange(n_tiles, dtype=np.int32) % n_roles]))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, kk)),
+                    jnp.float32)
+
+    def _bk(meta_ref, x_ref, c_ref, s_ref, o_ref, acc, *, n_tiles):
+        t = pl.program_id(0)
+        role = meta_ref[1, t]
+
+        @pl.when(t == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        for r in range(n_roles):
+            @pl.when(role == r)
+            def _(r=r):
+                part = _dqdot(x_ref[:], c_ref[0], s_ref[0], 8.0)
+                acc[:, : part.shape[1]] += part * (1e-6 + r * 1e-9)
+
+        @pl.when(t == n_tiles - 1)
+        def _():
+            o_ref[:] = acc[:]
+
+    def dmap(t, m):
+        return (m[0, t], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, kk), lambda t, m: (0, 0)),
+            pl.BlockSpec((1, kk // 2, tn), dmap),
+            pl.BlockSpec((1, kk // 32, tn), dmap),
+        ],
+        out_specs=pl.BlockSpec((8, 2048), lambda t, m: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((8, 2048), jnp.float32)],
+    )
+    call = pl.pallas_call(
+        functools.partial(_bk, n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, 2048), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )
+
+    @jax.jit
+    def loop(meta, x, codes, scales):
+        def step(c, _):
+            y = call(meta, c, codes, scales)
+            return c + y[:, :c.shape[1]] * 1e-9, ()
+        c, _ = jax.lax.scan(step, x, None, length=STEPS)
+        return c
+
+    out = loop(meta, x, codes, scales)
+    np.asarray(out).sum()
+    best = 1e9
+    for i in range(3):
+        xi = x + np.float32((time.time() * 997) % 100 + i) * 1e-4
+        t0 = time.perf_counter()
+        out = loop(meta, xi, codes, scales)
+        np.asarray(out).sum()
+        best = min(best, (time.perf_counter() - t0 - 0.033) / STEPS)
+    nbytes = n_tiles * (tile_bytes + (kk // 32) * tn * 2)
+    print(f"{label:10s}: {n_tiles} tiles  {best*1e3:7.3f} ms/step  "
+          f"{nbytes/1e9:.2f} GB -> {nbytes/best/1e9:6.1f} GB/s", flush=True)
+
+
 def main():
     import sys as _s
     which = _s.argv[1] if len(_s.argv) > 1 else "round2"
+    if which == "round4":
+        # full-K column tiles (a) and branch-overhead isolation (b)
+        run("fullK", 1024, 3072)          # (1536, 1024) 1.5 MB tiles
+        run_branchy("branchy", 1024, 1024)
+        run_branchy("branchy2k", 2048, 1024)
+        return
+    if which == "round3":
+        for label, tn, kk in (("dyn1024", 1024, 1024),
+                              ("dyn2048", 2048, 1024)):
+            try:
+                run_dyn(label, tn, kk)
+            except Exception as e:  # noqa: BLE001
+                print(f"{label:10s}: FAILED {str(e)[:300]}", flush=True)
+        run("static2048", 2048, 1024)
+        return
     if which == "round1":
         cases = (("tn1024", 1024, 1024), ("tn2048", 2048, 1024),
                  ("kk2048", 1024, 2048), ("bubble", 1024, 1024, True))

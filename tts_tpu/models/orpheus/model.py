@@ -228,10 +228,21 @@ def maybe_prep_llama_mega(cfg: OrpheusConfig, w: OrpheusWeights):
         return None, None
 
 
-def maybe_prep_llama_flat(cfg: OrpheusConfig, w: OrpheusWeights):
+def cache_ctx(cfg: OrpheusConfig) -> int:
+    """KV-cache context rounded up to the 512-row flash page so the flat
+    megastep's paged attention gets whole pages (extra rows are masked)."""
+    n = cfg.max_context_length + cfg.max_generation_size
+    return -(-n // 512) * 512
+
+
+def maybe_prep_llama_flat(cfg: OrpheusConfig, w: OrpheusWeights,
+                          ctx: int | None = None):
     """Prefer the flat-tile megastep (ops/llama_flat: whole stack + LM head
     in one fine-grained weight stream); fall back to the phase megastep,
-    then to the per-matmul path. Returns (mega_or_flat_or_None, qtype)."""
+    then to the per-matmul path. Returns (mega_or_flat_or_None, qtype).
+
+    `ctx` is the KV-cache context the decode will run with (defaults to
+    the runner's padded prompt+generation window)."""
     mega, qtype = maybe_prep_llama_mega(cfg, w)
     if mega is None:
         return None, None
@@ -239,7 +250,8 @@ def maybe_prep_llama_flat(cfg: OrpheusConfig, w: OrpheusWeights):
         from ...ops.llama_flat import prep_llama_flat
         flat = prep_llama_flat(mega, w.head, w.out_norm, qtype,
                                cfg.vocab_size, cfg.n_attn_heads,
-                               cfg.n_kv_heads)
+                               cfg.n_kv_heads,
+                               cache_ctx(cfg) if ctx is None else ctx)
         return flat, qtype
     except ValueError:
         return mega, qtype
@@ -454,7 +466,7 @@ class OrpheusRunner(TTSRunner):
                  cfg.max_context_length)
         toks = np.zeros(p, np.int32)
         toks[: len(ids)] = ids
-        ctx = cfg.max_context_length + cfg.max_generation_size
+        ctx = cache_ctx(cfg)
         shape = (cfg.n_layers, cfg.n_kv_heads, ctx, cfg.head_size)
         from ...common import kv_cache_dtype
         dt = kv_cache_dtype()
@@ -511,7 +523,7 @@ class OrpheusRunner(TTSRunner):
                  cfg.max_context_length)
         toks = np.zeros(p, np.int32)
         toks[: len(ids)] = ids
-        ctx = cfg.max_context_length + cfg.max_generation_size
+        ctx = cache_ctx(cfg)
         shape = (cfg.n_layers, cfg.n_kv_heads, ctx, cfg.head_size)
         from ...common import kv_cache_dtype
         dt = kv_cache_dtype()

@@ -213,11 +213,22 @@ def _parler_decode_body(cfg: ParlerConfig, w: ParlerWeights, ctx: int, *,
         # embed: sum the 9 per-codebook embeddings + positional
         embs = jax.vmap(lambda e, t: e[t])(w.embds, st.tokens_in)  # (nh, H)
         x = jnp.sum(embs, axis=0, keepdims=True) + w.pos_embd[st.pos][None, :]
-        if mega is not None:
-            from ...ops.parler_megastep import parler_megastep
-            xo, kn, vn = parler_megastep(
-                mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
-                use_cross=use_cross, n_heads=cfg.n_attn_heads)
+        from ...ops.parler_flat import ParlerFlatMega
+        flat_ok = isinstance(mega, ParlerFlatMega) and \
+            mega.use_cross == use_cross
+        if flat_ok or (mega is not None
+                       and not isinstance(mega, ParlerFlatMega)):
+            if flat_ok:
+                from ...ops.parler_flat import parler_flat_megastep
+                xo, kn, vn = parler_flat_megastep(
+                    mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
+                    n_heads=cfg.n_attn_heads,
+                    interpret=jax.devices()[0].platform != "tpu")
+            else:
+                from ...ops.parler_megastep import parler_megastep
+                xo, kn, vn = parler_megastep(
+                    mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
+                    use_cross=use_cross, n_heads=cfg.n_attn_heads)
             L, heads, d = cfg.n_layers, cfg.n_attn_heads, cfg.head_size
             kv_k2 = jax.lax.dynamic_update_slice(
                 st.kv_k, kn.reshape(L, heads, 1, d).astype(st.kv_k.dtype),
@@ -457,6 +468,23 @@ def maybe_prep_mega(cfg: ParlerConfig, w: ParlerWeights):
         return None, None
 
 
+def maybe_prep_parler_flat(cfg: ParlerConfig, w: ParlerWeights):
+    """Prefer the flat-tile megastep (ops/parler_flat: fine-grained weight
+    stream + paged flash attention) for the single-stream decode; fall
+    back to the phase megastep, then the per-matmul path. Returns
+    (flat_or_mega_or_None, qtype)."""
+    mega, qtype = maybe_prep_mega(cfg, w)
+    if mega is None:
+        return None, None
+    try:
+        from ...ops.parler_flat import prep_parler_flat
+        flat = prep_parler_flat(mega, qtype, cfg.max_ctx_length,
+                                use_cross=cfg.use_cross_attn)
+        return flat, qtype
+    except ValueError:
+        return mega, qtype
+
+
 def adjust_output_tokens(out: np.ndarray, n_steps: int, cfg: ParlerConfig) -> np.ndarray:
     """Delay-undo + invalid-frame filtering (reference model.cpp:734-760).
 
@@ -593,7 +621,7 @@ class ParlerRunner(TTSRunner):
             self.weights = self.weights._replace(
                 heads=self.weights.heads.fast_stacked_heads(
                     self.cfg.n_output_heads, self.cfg.output_vocab_size))
-        self._mega, self._mega_qtype = maybe_prep_mega(self.cfg, self.weights)
+        self._mega, self._mega_qtype = maybe_prep_parler_flat(self.cfg, self.weights)
 
     def update_conditional_prompt(self, file_path: str, prompt: str) -> None:
         """Re-encode the voice-conditioning prompt through an external T5
@@ -611,7 +639,7 @@ class ParlerRunner(TTSRunner):
         self.weights = self.weights._replace(
             layers=self.weights.layers._replace(cross_k=cross_k,
                                                 cross_v=cross_v))
-        self._mega, self._mega_qtype = maybe_prep_mega(self.cfg, self.weights)
+        self._mega, self._mega_qtype = maybe_prep_parler_flat(self.cfg, self.weights)
 
     def _bucket(self, n: int) -> int:
         for b in self.prompt_buckets:

@@ -457,3 +457,325 @@ def dia_megastep_reference(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck, cv,
           ck, cv, vtail)
     x_out, (k_new, v_new) = jax.lax.scan(layer, x, xs)
     return x_out, k_new, v_new
+
+
+# ---------------------------------------------------------------------------
+# batched megastep: B CFG-pair slots (2B rows) per step, one weight read
+# ---------------------------------------------------------------------------
+#
+# Port of ops/parler_megastep.parler_megastep_batched to Dia: the 8 f32
+# sublane rows carry B=4 slots x 2 CFG rows, so the quantized weight
+# stream is read once for every active request (the reference can only
+# scale Dia by full replicas, examples/server/server.cpp:885-897).
+# Grid (L, n_pages + 1 + n_ffn): per-slot self-attention KV pages fold
+# flash-style (page index map clamped at the max live page), one phase
+# runs the vectorized cross-attention over per-slot bucketed cross K/V
+# with the analytic pad-tail fold, then the FFN streams in fc slices.
+# Attention state is h-major so KV/cross blocks reshape to matching rows
+# with leading-dim transposes only (no lane/sublane relayouts).
+
+
+def _dia_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
+                        occ_c, occ_s, g_c, g_s, u_c, u_s, d_c, d_s, norms,
+                        ck_ref, cv_ref, vtail_ref, kc_ref, vc_ref,
+                        x_out, k_out, v_out,
+                        x_scr, h_scr, att_scr, q_scr, k_scr, v_scr,
+                        acc_scr, m_scr, l_scr,
+                        *, n_layers, n_pages, n_ffn, n_heads, n_kv, hidden,
+                        head_d, rows8, page, n_tail, bias):
+    l = pl.program_id(0)
+    p = pl.program_id(1)
+    qh_dim = n_heads * head_d
+    kv_dim = n_kv * head_d
+    g = n_heads // n_kv
+    rows = n_kv * rows8
+    h2d = head_d // 2
+
+    def rope_full(y, nh):
+        # NeoX rotation at per-row positions via two lane rolls
+        pos_b = pos_ref[0:rows8].astype(jnp.float32)       # (rows8, 1)
+        ang = pos_b * inv_ref[0:1]                         # (rows8, d/2)
+        cosd = jnp.concatenate([jnp.cos(ang)] * 2, axis=1)
+        sind = jnp.concatenate([jnp.sin(ang)] * 2, axis=1)
+        cw = jnp.concatenate([cosd] * nh, axis=1)
+        sw = jnp.concatenate([sind] * nh, axis=1)
+        rn = pltpu.roll(y, y.shape[1] - h2d, 1)
+        rp = pltpu.roll(y, h2d, 1)
+        li = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        return y * cw + jnp.where((li % head_d) < h2d, -rn, rp) * sw
+
+    @pl.when((l == 0) & (p == 0))
+    def _():
+        x_scr[:] = x_ref[:]
+
+    @pl.when(p == 0)
+    def _():
+        nm = norms[0]
+        x = x_scr[:]                                       # (2B, H)
+        h1 = _rms(x, nm[0:1])
+        qkv = _dqdot(h1, qkv_c[0], qkv_s[0], bias)         # (2B, QH+2KV)
+        q = rope_full(qkv[:, :qh_dim], n_heads)
+        k = rope_full(qkv[:, qh_dim:qh_dim + kv_dim], n_kv)
+        v = qkv[:, qh_dim + kv_dim:]
+        k_out[0] = k
+        v_out[0] = v
+        k_scr[:] = jnp.concatenate(
+            [k[:, j * head_d:(j + 1) * head_d] for j in range(n_kv)],
+            axis=0)                                        # j-major rows
+        v_scr[:] = jnp.concatenate(
+            [v[:, j * head_d:(j + 1) * head_d] for j in range(n_kv)],
+            axis=0)
+        for gi in range(g):
+            q_scr[gi] = jnp.concatenate(
+                [q[:, (j * g + gi) * head_d:(j * g + gi + 1) * head_d]
+                 for j in range(n_kv)], axis=0)            # scale 1.0
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        m_scr[:] = jnp.full_like(m_scr, -1e30)  # finite sentinel (parler)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    @pl.when((p < n_pages) & (p <= mp_ref[0]))
+    def _():
+        k3 = kc_ref[:].reshape(rows8, n_kv, page, head_d) \
+            .transpose(1, 0, 2, 3).reshape(rows, page, head_d) \
+            .astype(jnp.float32)
+        v3 = vc_ref[:].reshape(rows8, n_kv, page, head_d) \
+            .transpose(1, 0, 2, 3).reshape(rows, page, head_d) \
+            .astype(jnp.float32)
+        j = p * page + jax.lax.broadcasted_iota(jnp.int32, (rows, page), 1)
+        live = j < pos_ref[:]
+        for gi in range(g):
+            s = jnp.sum(q_scr[gi][:, None, :] * k3, axis=2)  # (rows, page)
+            s = jnp.where(live, s, -1e30)
+            m_prev = m_scr[gi, :, 0]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+            alpha = jnp.exp(m_prev - m_new)
+            pexp = jnp.exp(s - m_new[:, None])
+            l_scr[gi, :, 0] = l_scr[gi, :, 0] * alpha + jnp.sum(pexp, axis=1)
+            acc_scr[gi] = acc_scr[gi] * alpha[:, None] + \
+                jnp.sum(pexp[:, :, None] * v3, axis=1)
+            m_scr[gi, :, 0] = m_new
+
+    @pl.when(p == n_pages - 1)
+    def _():
+        att_blocks = []
+        for gi in range(g):
+            s_cur = jnp.sum(q_scr[gi] * k_scr[:], axis=1, keepdims=True)
+            m_f = jnp.maximum(m_scr[gi], s_cur)
+            alpha = jnp.exp(m_scr[gi] - m_f)
+            pc = jnp.exp(s_cur - m_f)
+            denom = l_scr[gi] * alpha + pc
+            att_blocks.append(
+                (acc_scr[gi] * alpha + pc * v_scr[:]) / denom)
+        att_scr[:] = jnp.concatenate(
+            [att_blocks[gi][j * rows8:(j + 1) * rows8, :]
+             for j in range(n_kv) for gi in range(g)], axis=1)  # (2B, QH)
+        o = _dqdot(att_scr[:], occ_c[0][:, :qh_dim],
+                   occ_s[0][:, :qh_dim], bias)
+        x_scr[:] = x_scr[:] + o
+
+    @pl.when(p == n_pages)
+    def _():
+        nm = norms[0]
+        x = x_scr[:]
+        h2 = _rms(x, nm[1:2])
+        cq = _dqdot(h2, occ_c[0][:, qh_dim:2 * qh_dim],
+                    occ_s[0][:, qh_dim:2 * qh_dim], bias)  # (2B, QH)
+        cq = rope_full(cq, n_heads)
+        xrows = n_heads * rows8
+        sb = ck_ref.shape[2]
+        q3 = jnp.concatenate(
+            [cq[:, hh * head_d:(hh + 1) * head_d] for hh in range(n_heads)],
+            axis=0)                                        # (hh-major, d)
+        ck3 = ck_ref[:].reshape(rows8, n_heads, sb, head_d) \
+            .transpose(1, 0, 2, 3).reshape(xrows, sb, head_d) \
+            .astype(jnp.float32)
+        cv3 = cv_ref[:].reshape(rows8, n_heads, sb, head_d) \
+            .transpose(1, 0, 2, 3).reshape(xrows, sb, head_d) \
+            .astype(jnp.float32)
+        s = jnp.sum(q3[:, None, :] * ck3, axis=2)          # (xrows, Sb)
+        m = jnp.max(s, axis=1, keepdims=True)
+        if n_tail:
+            m = jnp.maximum(m, 0.0)
+        ph = jnp.exp(s - m)
+        den = jnp.sum(ph, axis=1, keepdims=True)
+        av = jnp.sum(ph[:, :, None] * cv3, axis=1)         # (xrows, d)
+        if n_tail:
+            vt3 = vtail_ref[:].reshape(rows8, n_heads, head_d) \
+                .transpose(1, 0, 2).reshape(xrows, head_d)
+            et = jnp.exp(-m)
+            den = den + n_tail * et
+            av = av + et * vt3
+        av = av / den
+        att_scr[:] = jnp.concatenate(
+            [av[hh * rows8:(hh + 1) * rows8, :] for hh in range(n_heads)],
+            axis=1)
+        co = _dqdot(att_scr[:], occ_c[0][:, 2 * qh_dim:],
+                    occ_s[0][:, 2 * qh_dim:], bias)
+        x = x + co
+        x_scr[:] = x
+        h_scr[:] = _rms(x, nm[2:3])
+
+    @pl.when(p > n_pages)
+    def _():
+        h3 = h_scr[:]
+        gate = _dqdot(h3, g_c[0], g_s[0], bias)            # (2B, FC)
+        up = _dqdot(h3, u_c[0], u_s[0], bias)
+        a = jax.nn.silu(gate) * up
+        down = _dqdot(a, d_c[0], d_s[0], bias)             # (2B, H)
+        x_scr[:] = x_scr[:] + down
+
+        @pl.when((l == n_layers - 1) & (p == n_pages + n_ffn))
+        def _():
+            x_out[:] = x_scr[:]
+
+
+def dia_megastep_batched(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck, cv,
+                         vtail, n_tail: int, *, qtype: int, n_heads: int,
+                         n_kv: int, page: int = 256, fc: int = 2048):
+    """Batched Dia megastep: x (2B, H) f32 (rows = B slots x [cond,
+    uncond]); kv_k/kv_v (L, B, 2, n_kv, CTX, D); pos (B,) per-slot cache
+    rows; ck/cv (L, B, 2, heads, Sb, D) bf16 + vtail (L, B, 2, heads, D)
+    f32 (per-slot prep_dia_cross outputs stacked in state layout).
+
+    Returns (x_out (2B, H) pre-final-norm, k_new (L, 2B, KV), v_new);
+    caller writes each slot's cache rows at pos[slot] and applies final
+    norm + heads + CFG merge. TPU requires 2B % 8 == 0 and CTX % page == 0;
+    otherwise dispatches to a per-slot loop over the XLA reference."""
+    b = kv_k.shape[1]
+    ctx = kv_k.shape[-2]
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu or (2 * b) % 8 or ctx % page:
+        return dia_megastep_batched_reference(
+            mega, x, kv_k, kv_v, pos, ck, cv, vtail, n_tail, qtype=qtype,
+            n_heads=n_heads, n_kv=n_kv)
+    return _dia_megastep_batched_tpu(
+        mega, x, kv_k, kv_v, pos, ck, cv, vtail, n_tail, qtype=qtype,
+        n_heads=n_heads, n_kv=n_kv, page=page, fc=fc)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tail", "qtype", "n_heads",
+                                             "n_kv", "page", "fc"))
+def _dia_megastep_batched_tpu(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck,
+                              cv, vtail, n_tail: int, *, qtype: int,
+                              n_heads: int, n_kv: int, page: int, fc: int):
+    L = mega.qkv_codes.shape[0]
+    hidden = mega.qkv_scales.shape[1] * 32
+    f = mega.gate_codes.shape[2]
+    pk = hidden // mega.qkv_codes.shape[1]
+    _, b, _, kvh, ctx, d = kv_k.shape
+    rows8 = 2 * b
+    head_d = hidden // n_heads
+    sb = ck.shape[-2]
+    fc = min(fc, f)
+    n_ffn = f // fc
+    n_pages = ctx // page
+    inv = _inv_freq_row(head_d, 10000.0, None)
+    kv_n = n_heads * head_d + 2 * n_kv * head_d
+    pos = jnp.asarray(pos, jnp.int32)
+    pos2 = jnp.repeat(pos, 2)                              # (2B,)
+    mp = jnp.max(jnp.maximum(pos2 - 1, 0)) // page
+    mp_arr = mp.reshape(1)
+    pos_rows = jnp.tile(pos2, (n_kv,))[:, None]            # (n_kv*2B, 1)
+    kvr = kv_k.reshape(L, rows8 * kvh, ctx, d)
+    vvr = kv_v.reshape(L, rows8 * kvh, ctx, d)
+    ckr = ck.reshape(L, rows8 * n_heads, sb, d)
+    cvr = cv.reshape(L, rows8 * n_heads, sb, d)
+    vtr = vtail.reshape(L, rows8 * n_heads, d)
+
+    def at_l(i, p, s, q):
+        return (i, 0, 0)
+
+    def at_l4(i, p, s, q):
+        return (i, 0, 0, 0)
+
+    def ffn_hk(i, p, s, q):
+        return (i, 0, jnp.maximum(p - n_pages - 1, 0))
+
+    def ffn_kh(i, p, s, q):
+        return (i, jnp.maximum(p - n_pages - 1, 0), 0)
+
+    def kv_map(i, p, s, q):
+        return (i, 0, jnp.minimum(p, s[0]), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, n_pages + 1 + n_ffn),
+        in_specs=[
+            pl.BlockSpec((rows8, hidden), lambda i, p, s, q: (0, 0)),
+            pl.BlockSpec((1, head_d // 2), lambda i, p, s, q: (0, 0)),
+            pl.BlockSpec((1, hidden // pk, kv_n), at_l),
+            pl.BlockSpec((1, hidden // 32, kv_n), at_l),
+            pl.BlockSpec((1, hidden // pk, 3 * n_heads * head_d), at_l),
+            pl.BlockSpec((1, hidden // 32, 3 * n_heads * head_d), at_l),
+            pl.BlockSpec((1, hidden // pk, fc), ffn_hk),
+            pl.BlockSpec((1, hidden // 32, fc), ffn_hk),
+            pl.BlockSpec((1, hidden // pk, fc), ffn_hk),
+            pl.BlockSpec((1, hidden // 32, fc), ffn_hk),
+            pl.BlockSpec((1, fc // pk, hidden), ffn_kh),
+            pl.BlockSpec((1, fc // 32, hidden), ffn_kh),
+            pl.BlockSpec((1, 3, hidden), at_l),
+            pl.BlockSpec((1, rows8 * n_heads, sb, d), at_l4),
+            pl.BlockSpec((1, rows8 * n_heads, sb, d), at_l4),
+            pl.BlockSpec((1, rows8 * n_heads, d), at_l),
+            pl.BlockSpec((1, rows8 * kvh, page, d), kv_map),
+            pl.BlockSpec((1, rows8 * kvh, page, d), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows8, hidden), lambda i, p, s, q: (0, 0)),
+            pl.BlockSpec((1, rows8, kvh * d), at_l),
+            pl.BlockSpec((1, rows8, kvh * d), at_l),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows8, hidden), jnp.float32),
+            pltpu.VMEM((rows8, hidden), jnp.float32),
+            pltpu.VMEM((rows8, n_heads * head_d), jnp.float32),
+            pltpu.VMEM((n_heads // n_kv, n_kv * rows8, head_d),
+                       jnp.float32),                       # q rows
+            pltpu.VMEM((n_kv * rows8, head_d), jnp.float32),
+            pltpu.VMEM((n_kv * rows8, head_d), jnp.float32),
+            pltpu.VMEM((n_heads // n_kv, n_kv * rows8, head_d),
+                       jnp.float32),                       # flash acc
+            pltpu.VMEM((n_heads // n_kv, n_kv * rows8, 1), jnp.float32),
+            pltpu.VMEM((n_heads // n_kv, n_kv * rows8, 1), jnp.float32),
+        ],
+    )
+    x_out, k_new, v_new = pl.pallas_call(
+        functools.partial(_dia_batched_kernel, n_layers=L, n_pages=n_pages,
+                          n_ffn=n_ffn, n_heads=n_heads, n_kv=n_kv,
+                          hidden=hidden, head_d=head_d, rows8=rows8,
+                          page=page, n_tail=n_tail, bias=_BIAS[qtype]),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows8, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((L, rows8, kvh * d), jnp.float32),
+            jax.ShapeDtypeStruct((L, rows8, kvh * d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(mp_arr, pos_rows, x.astype(jnp.float32), inv, mega.qkv_codes,
+      mega.qkv_scales, mega.occ_codes, mega.occ_scales, mega.gate_codes,
+      mega.gate_scales, mega.up_codes, mega.up_scales, mega.down_codes,
+      mega.down_scales, mega.norms, ckr, cvr, vtr, kvr, vvr)
+    return x_out, k_new, v_new
+
+
+def dia_megastep_batched_reference(mega: DiaMegaLayers, x, kv_k, kv_v, pos,
+                                   ck, cv, vtail, n_tail: int, *,
+                                   qtype: int, n_heads: int, n_kv: int):
+    """Per-slot loop over the single-slot reference."""
+    pos = jnp.asarray(pos, jnp.int32)
+    b = kv_k.shape[1]
+    outs = []
+    for s in range(b):
+        outs.append(dia_megastep_reference(
+            mega, x[2 * s:2 * s + 2], kv_k[:, s], kv_v[:, s], pos[s],
+            ck[:, s].reshape(ck.shape[0], -1, ck.shape[-2], ck.shape[-1]),
+            cv[:, s].reshape(cv.shape[0], -1, cv.shape[-2], cv.shape[-1]),
+            vtail[:, s].reshape(vtail.shape[0], -1, vtail.shape[-1]),
+            n_tail, qtype=qtype, n_heads=n_heads, n_kv=n_kv))
+    return (jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=1),
+            jnp.concatenate([o[2] for o in outs], axis=1))

@@ -5,30 +5,35 @@ Pallas kernel whose grid is a flat stream of uniform weight tiles.
 Why flat: the round-4 (L, phases) megakernel streams weights at only
 ~355 GB/s because its phases are few huge blocks (the double-buffered DMA
 of the next 19-25 MB phase cannot hide behind unbalanced compute), while
-the single-call dequant matvec's fine-tile pipeline reaches the chip's
-practical streaming rate. Measured on v5e (tools/probe_flat_stream.py):
-a flat stream of (512, 1024) packed-Q4 tiles covering the full Orpheus
-weight set moves 1.86 GB at 480-512 GB/s with a synthetic attention
-bubble every 30 tiles costing ~1% — vs 355 GB/s for the phase grid.
+a fine-tile pipeline reaches the chip's practical streaming rate.
+Measured on v5e (tools/probe_flat_stream.py): a flat stream of uniform
+packed-Q4 tiles covering the full Orpheus weight set moves 1.86 GB at
+480-512 GB/s single-stream and 521-531 GB/s with two concurrent tile
+streams, with a synthetic attention bubble every 30 tiles costing ~1%.
 
-Layout: every weight matrix is cut into (kk logical K rows x tn N cols)
-tiles, Q4 codes nibble-packed PER TILE (half-split: byte row r = logical
-rows r and r + kk/2, exactly `pack_codes_t` on the slice), scales bf16.
-All tiles across all layers and the LM head concatenate into one
-(T, kr, tn) codes array + (T, kk//32, tn) scales array in stream order;
-a prefetched (8, T) metadata array tells each grid step its role
-(qkv/o/gate/up/down/head accumulate, or one of two attention phases),
-source/dest lane offsets, and drives the dynamic BlockSpec index maps
-(KV cache blocks prefetch at layer start; logits flush per head n-tile).
-
-Attention is vectorized per kv head (one (8, ctx) score dot + one AV dot
-per kv head instead of round-4's 48 unrolled per-(head, group) dots), so
-its bubble stays ~10 us/layer and the weight DMA — issued one tile ahead
-throughout — keeps streaming beneath it.
+Design points:
+  * every weight matrix is cut into (kk logical K rows x tn N cols)
+    tiles; each tile is K-SPLIT into two half-tiles shipped as two
+    independent arrays (codes0/codes1 + scales0/scales1) so every grid
+    step keeps 4 DMAs in flight (the dual-stream +8%); Q4 codes are
+    nibble-packed per half-tile (half-split layout, `pack_codes_t`
+    semantics), scales bf16;
+  * all tiles across all layers and the LM head concatenate in stream
+    order; a prefetched (9, T) metadata array gives each grid step its
+    role, source/dest lane offsets, and drives the dynamic BlockSpec
+    index maps;
+  * attention is PAGED flash attention inside the stream: the KV cache
+    is read in (psz)-row pages, one phase per page, with the page index
+    map clamped at (pos-1)//psz so pages beyond the live context cost
+    neither DMA nor compute (dynamic skipping on a static grid). The
+    current token's K/V initialize the flash state (m = s_cur, l = 1,
+    acc = v_cur), so no separate softmax fold is needed;
+  * the LM head rides the same stream as its own tiles with logits as a
+    tiled output — the separate head matvec dispatch disappears.
 
 Replaces the reference's per-matmul graph walk for Orpheus
 (/root/reference/src/models/orpheus/model.cpp:389-405) and subsumes the
-separate LM-head matvec dispatch (model.cpp:398, lm_head).
+separate LM-head matvec (model.cpp:398).
 """
 from __future__ import annotations
 
@@ -45,9 +50,9 @@ from .parler_megastep import _BIAS, _dqdot
 from .quant_matmul import QK
 
 # roles
-R_QKV, R_O, R_GATE, R_UP, R_DOWN, R_HEAD, R_ATTK, R_ATTV = range(8)
+R_QKV, R_O, R_GATE, R_UP, R_DOWN, R_HEAD, R_ATTP, R_ATTF = range(8)
 # meta rows
-M_ROLE, M_SID, M_LAYER, M_K0, M_N0, M_OUTN, M_KL, M_VL = range(8)
+(M_ROLE, M_SID, M_LAYER, M_K0, M_N0, M_OUTN, M_KL, M_PG) = range(8)
 N_META = 8
 
 
@@ -57,32 +62,37 @@ def _rms(x, w, eps=1e-5):
 
 
 class LlamaFlatMega:
-    """Stream-ordered tiles + schedule for the flat megastep.
+    """Stream-ordered half-tiles + schedule for the flat megastep.
 
-    codes (T, kr, tn) int8 (kr = kk//2 for Q4 per-tile half-split, kk
-    otherwise); scales (T, kk//QK, tn) bf16; meta (8, T) int32;
-    norms (L, 2, H) f32; out_norm (1, H) f32. Registered as a pytree with
-    (vocab_pad, ffn) as STATIC aux data so it rides the same `mega=`
-    argument as LlamaMegaLayers through jit boundaries.
+    codes0/codes1 (T, kr, tn) int8 (K-split halves; kr = kk//4 for Q4
+    per-half-tile nibble-packing, kk//2 otherwise); scales0/scales1
+    (T, kk//(2*QK), tn) bf16; meta (8, T) int32; norms (L, 2, H) f32;
+    out_norm (1, H) f32. Registered as a pytree with (vocab_pad, ffn,
+    psz) as STATIC aux data so it rides the same `mega=` argument as
+    LlamaMegaLayers through jit boundaries.
     """
 
-    def __init__(self, codes, scales, meta, norms, out_norm, *,
-                 vocab_pad: int, ffn: int):
-        self.codes = codes
-        self.scales = scales
+    def __init__(self, codes0, scales0, codes1, scales1, meta, norms,
+                 out_norm, *, vocab_pad: int, ffn: int, psz: int):
+        self.codes0 = codes0
+        self.scales0 = scales0
+        self.codes1 = codes1
+        self.scales1 = scales1
         self.meta = meta
         self.norms = norms
         self.out_norm = out_norm
         self.vocab_pad = vocab_pad
         self.ffn = ffn
+        self.psz = psz
 
     def tree_flatten(self):
-        return ((self.codes, self.scales, self.meta, self.norms,
-                 self.out_norm), (self.vocab_pad, self.ffn))
+        return ((self.codes0, self.scales0, self.codes1, self.scales1,
+                 self.meta, self.norms, self.out_norm),
+                (self.vocab_pad, self.ffn, self.psz))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, vocab_pad=aux[0], ffn=aux[1])
+        return cls(*children, vocab_pad=aux[0], ffn=aux[1], psz=aux[2])
 
 
 jax.tree_util.register_pytree_node(
@@ -92,56 +102,58 @@ jax.tree_util.register_pytree_node(
 
 def pick_tiles(hidden: int, kvn: int, ffn: int) -> tuple[int, int]:
     """Largest (kk, tn) <= 1024 dividing every K / N the stream touches."""
-    kk = next((v for v in (1024, 512, 256, 128, 64)
+    kk = next((v for v in (1024, 512, 256, 128)
                if hidden % v == 0 and ffn % v == 0), 0)
     tn = next((v for v in (1024, 512, 256, 128)
                if kvn % v == 0 and hidden % v == 0 and ffn % v == 0), 0)
     return kk, tn
 
 
+def pick_page(ctx: int) -> int:
+    return next((v for v in (512, 256, 128) if ctx % v == 0), ctx)
+
+
 @functools.lru_cache(maxsize=8)
 def build_schedule(L: int, hidden: int, kvn: int, ffn: int, vocab_pad: int,
-                   kk: int, tn: int) -> np.ndarray:
-    """(8, T) int32 stream schedule (see module header)."""
+                   kk: int, tn: int, n_pages: int) -> np.ndarray:
+    """(8, T) int32 stream schedule (see module header).
+
+    M_PG holds the KV page the kc/vc index maps should sit on: 0 through
+    the qkv tiles (page-0 prefetch rides under the qkv stream), the page
+    number during R_ATTP phases, and n_pages-1 afterwards (clamped by the
+    map at the live context so dead pages are never fetched)."""
     rows = []
     sid = 0
 
-    def mat(role, layer, K, N):
+    def mat(role, layer, K, N, pg):
         nonlocal sid
         for n in range(N // tn):
             for k in range(K // kk):
-                rows.append([role, sid, layer, k, n, 0, layer, layer])
+                rows.append([role, sid, layer, k, n, 0, layer, pg])
                 sid += 1
 
+    last = n_pages - 1
     for l in range(L):
-        mat(R_QKV, l, hidden, kvn)
+        mat(R_QKV, l, hidden, kvn, 0)
         # attention phases carry the NEXT tile's sid so the o-proj tile 0
-        # DMA is issued entering ATTK and rides under the attention bubble
-        rows.append([R_ATTK, sid, l, 0, 0, 0, l, l])
-        rows.append([R_ATTV, sid, l, 0, 0, 0, l, l])
-        mat(R_O, l, hidden, hidden)
-        mat(R_GATE, l, hidden, ffn)
-        mat(R_UP, l, hidden, ffn)
-        mat(R_DOWN, l, ffn, hidden)
+        # DMA is issued entering the attention region and rides under it
+        for p in range(n_pages):
+            rows.append([R_ATTP, sid, l, p, 0, 0, l, p])
+        rows.append([R_ATTF, sid, l, 0, 0, 0, l, last])
+        mat(R_O, l, hidden, hidden, last)
+        mat(R_GATE, l, hidden, ffn, last)
+        mat(R_UP, l, hidden, ffn, last)
+        mat(R_DOWN, l, ffn, hidden, last)
     for n in range(vocab_pad // tn):
         for k in range(hidden // kk):
-            rows.append([R_HEAD, sid, L - 1, k, n, n, L - 1, L - 1])
+            rows.append([R_HEAD, sid, L - 1, k, n, n, L - 1, last])
             sid += 1
-    m = np.asarray(rows, np.int32).T.copy()
-    # V-cache prefetch staggers a few tiles into each layer so the K and V
-    # block DMAs don't collide at the layer boundary
-    per_layer = (kvn + hidden + 3 * ffn) // tn * (hidden // kk) + 2
-    t0 = 0
-    for l in range(L):
-        stag = min(4, kvn // tn * (hidden // kk) - 1)
-        m[M_VL, t0:t0 + stag] = max(l - 1, 0)
-        t0 += per_layer
-    return m
+    return np.asarray(rows, np.int32).T.copy()
 
 
 def _layer_tiles(codes_t, scales_t, kk: int, tn: int, pack: bool):
-    """(L, Kp, N) codes + (L, K//QK, N) scales -> stream-ordered tiles
-    (L, nt, kr, tn) / (L, nt, kk//QK, tn), n-outer k-inner order."""
+    """(L, Kp, N) codes + (L, K//QK, N) scales -> K-split stream tiles
+    ((L, nt, kr, tn) x2, (L, nt, kk//2//QK, tn) x2), n-outer k-inner."""
     from .quant_matmul import unpack_codes_t
     L = codes_t.shape[0]
     k = scales_t.shape[1] * QK
@@ -151,22 +163,31 @@ def _layer_tiles(codes_t, scales_t, kk: int, tn: int, pack: bool):
         c = unpack_codes_t(c, k).astype(jnp.int8)
     nk, nn = k // kk, n // tn
     c = c.reshape(L, nk, kk, nn, tn).transpose(0, 3, 1, 2, 4)
-    if pack:
-        lo = c[..., : kk // 2, :].astype(jnp.uint8)
-        hi = c[..., kk // 2:, :].astype(jnp.uint8)
-        c = jax.lax.bitcast_convert_type((hi << 4) | lo, jnp.int8)
-    c = c.reshape(L, nn * nk, c.shape[-2], tn)
+    h = kk // 2
+
+    def half(x):
+        if pack:
+            lo = x[..., : h // 2, :].astype(jnp.uint8)
+            hi = x[..., h // 2:, :].astype(jnp.uint8)
+            x = jax.lax.bitcast_convert_type((hi << 4) | lo, jnp.int8)
+        return x.reshape(L, nn * nk, x.shape[-2], tn)
+
+    c0 = half(c[..., :h, :])
+    c1 = half(c[..., h:, :])
     s = scales_t.reshape(L, nk, kk // QK, nn, tn).transpose(0, 3, 1, 2, 4)
-    s = s.reshape(L, nn * nk, kk // QK, tn).astype(jnp.bfloat16)
-    return c, s
+    s = s.astype(jnp.bfloat16)
+    s0 = s[..., : h // QK, :].reshape(L, nn * nk, h // QK, tn)
+    s1 = s[..., h // QK:, :].reshape(L, nn * nk, h // QK, tn)
+    return c0, s0, c1, s1
 
 
 def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
-                    n_heads: int, n_kv: int) -> LlamaFlatMega:
+                    n_heads: int, n_kv: int, ctx: int) -> LlamaFlatMega:
     """Build the flat stream from LlamaMegaLayers + the LM head QuantTensor.
 
-    Raises ValueError when shapes don't admit a uniform tile (caller keeps
-    the phase megastep)."""
+    `ctx` is the KV-cache context length the decode will run with (pages
+    are baked into the schedule). Raises ValueError when shapes don't
+    admit a uniform tile (caller keeps the phase megastep)."""
     from .quant_matmul import QuantTensor
     if not isinstance(head, QuantTensor) or head.qtype != qtype:
         raise ValueError("flat megastep needs a QuantTensor LM head of the "
@@ -178,51 +199,48 @@ def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
     kvn = mega.qkv_codes.shape[2]
     ffn = mega.gate_codes.shape[2]
     kk, tn = pick_tiles(hidden, kvn, ffn)
-    if not kk or not tn or kk % 64:
+    if not kk or not tn or kk % 128:
         raise ValueError(f"no uniform tile for H={hidden} KVN={kvn} F={ffn}")
     pack = qtype == quants.GGML_TYPE_Q4_0
     vocab_pad = -(-vocab // tn) * tn
+    psz = pick_page(ctx)
 
     @jax.jit
     def build(mega, head_c, head_s):
-        parts_c, parts_s = [], []
+        parts = [[], [], [], []]
         for c, s in ((mega.qkv_codes, mega.qkv_scales),
                      (mega.o_codes, mega.o_scales),
                      (mega.gate_codes, mega.gate_scales),
                      (mega.up_codes, mega.up_scales),
                      (mega.down_codes, mega.down_scales)):
-            tc, ts = _layer_tiles(c, s.astype(jnp.float32), kk, tn, pack)
-            parts_c.append(tc)
-            parts_s.append(ts)
-        lc = jnp.concatenate(parts_c, axis=1)
-        ls = jnp.concatenate(parts_s, axis=1)
-        lc = lc.reshape(-1, lc.shape[-2], tn)
-        ls = ls.reshape(-1, ls.shape[-2], tn)
+            for i, t in enumerate(_layer_tiles(c, s.astype(jnp.float32),
+                                               kk, tn, pack)):
+                parts[i].append(t)
+        lt = [jnp.concatenate(p, axis=1) for p in parts]
+        lt = [a.reshape(-1, a.shape[-2], tn) for a in lt]
         npad = vocab_pad - head_c.shape[-1]
         hc = jnp.pad(head_c, ((0, 0), (0, npad)))
         hs = jnp.pad(head_s, ((0, 0), (0, npad)))
-        tc, ts = _layer_tiles(hc[None], hs[None].astype(jnp.float32),
-                              kk, tn, pack)
-        codes = jnp.concatenate([lc, tc[0]], axis=0)
-        scales = jnp.concatenate([ls, ts[0]], axis=0)
-        nm = jnp.stack([mega.norms[:, 0], mega.norms[:, 1]], axis=1)
-        return codes, scales, nm.astype(jnp.float32)
+        ht = _layer_tiles(hc[None], hs[None].astype(jnp.float32),
+                          kk, tn, pack)
+        outs = [jnp.concatenate([a, b[0]], axis=0) for a, b in zip(lt, ht)]
+        return (*outs, mega.norms.astype(jnp.float32))
 
-    codes, scales, nm = build(mega, head.codes_t, head.scales_t)
+    c0, s0, c1, s1, nm = build(mega, head.codes_t, head.scales_t)
     meta = jnp.asarray(build_schedule(L, hidden, kvn, ffn, vocab_pad,
-                                      kk, tn))
-    assert meta.shape[1] - 2 * L == codes.shape[0], \
-        (meta.shape, codes.shape)
+                                      kk, tn, ctx // psz))
+    n_weight = int((meta[M_ROLE] < R_ATTP).sum())
+    assert n_weight == c0.shape[0], (n_weight, c0.shape)
     onm = jnp.asarray(out_norm, jnp.float32).reshape(1, hidden)
-    return LlamaFlatMega(codes, scales, meta, nm, onm,
-                         vocab_pad=vocab_pad, ffn=ffn)
+    return LlamaFlatMega(c0, s0, c1, s1, meta, nm, onm,
+                         vocab_pad=vocab_pad, ffn=ffn, psz=psz)
 
 
-def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c_ref, s_ref, nm_ref,
-                 onm_ref, kc_ref, vc_ref, lg_ref, ko_ref, vo_ref,
-                 x_scr, h_scr, qkv_scr, attn_scr, p_scr, cv_scr, up_scr,
-                 gate_scr, *, n_heads, n_kv, hidden, head_d, bias, kk, tn,
-                 ffn):
+def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
+                 s1_ref, nm_ref, onm_ref, kc_ref, vc_ref, lg_ref, ko_ref,
+                 vo_ref, x_scr, h_scr, qkv_scr, attn_scr, q_scr, m_scr,
+                 l_scr, acc_scr, up_scr, gate_scr, *, n_heads, n_kv, hidden,
+                 head_d, bias, kk, tn, ffn, psz):
     t = pl.program_id(0)
     role = meta_ref[M_ROLE, t]
     kidx = meta_ref[M_K0, t]
@@ -232,14 +250,17 @@ def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c_ref, s_ref, nm_ref,
     g = n_heads // n_kv
     scale = 1.0 / np.sqrt(head_d)
     kvh = n_kv * head_d
+    h2 = kk // 2
 
     @pl.when(t == 0)
     def _():
         x_scr[:] = x_ref[:]
 
     def tile_dot(src_ref, src_off):
-        return _dqdot(src_ref[:, pl.ds(src_off, kk)], c_ref[0], s_ref[0],
-                      bias)
+        return (_dqdot(src_ref[:, pl.ds(src_off, h2)], c0_ref[0], s0_ref[0],
+                       bias) +
+                _dqdot(src_ref[:, pl.ds(src_off + h2, h2)], c1_ref[0],
+                       s1_ref[0], bias))
 
     def accum(dst_ref, part, first):
         prev = dst_ref[:, pl.ds(n0, tn)]
@@ -252,64 +273,97 @@ def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c_ref, s_ref, nm_ref,
             h_scr[:] = _rms(x_scr[:], nm_ref[0, 0:1])
         accum(qkv_scr, tile_dot(h_scr, k0), kidx == 0)
 
-    # Attention keeps every vector (8, lanes)-shaped with REPLICATED rows
-    # (Mosaic rejects (1, x) -> (8, x) sublane broadcasts of computed
-    # values): per-head rows are built with row-iota selects and collapsed
-    # back to replicated rows by tiny (8,8)x(8,d) selector dots on the MXU.
-    @pl.when(role == R_ATTK)
+    # Paged flash attention, vectorized over ALL kv heads per phase:
+    # per-head state rides the sublane dim ((8*n_kv, d) scratches) and
+    # every page folds with ONE masked (8*n_kv, n_kv*psz) score dot + ONE
+    # AV dot — the per-head-loop formulation's ~100 small ops/page
+    # serialized the stream (~1.1 ms/step of exposed bubbles at 28
+    # layers). Everything stays (8k, lanes)-shaped (Mosaic rejects
+    # (1, x) -> (8, x) sublane broadcasts of computed values); RoPE is
+    # applied full-width with two lane-rolls instead of per-head slices.
+    @pl.when(role == R_ATTP)
     def _():
-        ang = pos.astype(jnp.float32) * inv_ref[0:1]            # (1, d/2)
-        cos = jnp.broadcast_to(jnp.cos(ang), (8, head_d // 2))
-        sin = jnp.broadcast_to(jnp.sin(ang), (8, head_d // 2))
+        @pl.when(kidx == 0)
+        def _():
+            # rope the current token, emit its K/V rows, and initialize
+            # the flash state from it: m = s_cur, l = 1, acc = v_cur
+            ang = pos.astype(jnp.float32) * inv_ref[0:1]        # (1, d/2)
+            cos = jnp.broadcast_to(jnp.cos(ang), (8, head_d // 2))
+            sin = jnp.broadcast_to(jnp.sin(ang), (8, head_d // 2))
+            cosd = jnp.concatenate([cos, cos], axis=1)          # (8, d)
+            sind = jnp.concatenate([sin, sin], axis=1)
+            h2d = head_d // 2
 
-        def rope8(off):
-            x1 = qkv_scr[:, off:off + head_d // 2]
-            x2 = qkv_scr[:, off + head_d // 2:off + head_d]
-            return jnp.concatenate([x1 * cos - x2 * sin,
-                                    x2 * cos + x1 * sin], axis=1)   # (8, d)
+            def rope_full(y, nh):
+                # NeoX rotation on (8, nh*d) in 5 wide ops: out_lo =
+                # x1*cos - x2*sin, out_hi = x2*cos + x1*sin via lane rolls
+                cw = jnp.concatenate([cosd] * nh, axis=1)
+                sw = jnp.concatenate([sind] * nh, axis=1)
+                # circular rolls (shift must be non-negative)
+                rn = pltpu.roll(y, y.shape[1] - h2d, 1)  # rn[i] = y[i+d/2]
+                rp = pltpu.roll(y, h2d, 1)               # rp[i] = y[i-d/2]
+                li = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+                first = (li % head_d) < h2d
+                return y * cw + jnp.where(first, -rn, rp) * sw
 
-        k_row = jnp.concatenate(
-            [rope8(hidden + h * head_d) for h in range(n_kv)], axis=1)
-        v_row = qkv_scr[:, hidden + kvh:hidden + 2 * kvh]       # (8, KV)
-        ko_ref[0] = k_row
-        vo_ref[0] = v_row
-        ctx = kc_ref.shape[2]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (8, ctx), 1)
-        mask = iota < pos
-        riota = jax.lax.broadcasted_iota(jnp.int32, (8, head_d), 0)
-        for h in range(n_kv):
-            # q8 row i = query head h*g+i (replicated-row sources selected
-            # per row; rows >= g repeat head h*g and are ignored)
-            q8 = rope8((h * g + g - 1) * head_d)
-            for i in range(g - 2, -1, -1):
-                q8 = jnp.where(riota == i, rope8((h * g + i) * head_d), q8)
-            q8 = q8 * scale
-            kh = kc_ref[0, h].astype(jnp.float32)               # (ctx, d)
+            qrow = rope_full(qkv_scr[:, :hidden], n_heads)      # (8, H)
+            k_row = rope_full(qkv_scr[:, hidden:hidden + kvh], n_kv)
+            v_row = qkv_scr[:, hidden + kvh:hidden + 2 * kvh]   # (8, KV)
+            ko_ref[0] = k_row
+            vo_ref[0] = v_row
+            riota = jax.lax.broadcasted_iota(jnp.int32, (8, head_d), 0)
+            for h in range(n_kv):
+                q8 = qrow[:, (h * g + g - 1) * head_d:
+                          (h * g + g) * head_d]
+                for i in range(g - 2, -1, -1):
+                    q8 = jnp.where(
+                        riota == i,
+                        qrow[:, (h * g + i) * head_d:
+                             (h * g + i + 1) * head_d], q8)
+                q8 = q8 * scale
+                q_scr[h * 8:(h + 1) * 8, :] = q8
+                kcur = k_row[:, h * head_d:(h + 1) * head_d]
+                s_cur = jnp.sum(q8 * kcur, axis=1, keepdims=True)  # (8, 1)
+                m_scr[h * 8:(h + 1) * 8, :] = jnp.broadcast_to(
+                    s_cur, (8, head_d))
+                l_scr[h * 8:(h + 1) * 8, :] = jnp.ones((8, head_d),
+                                                       jnp.float32)
+                vcur = v_row[:, h * head_d:(h + 1) * head_d]
+                acc_scr[h * 8:(h + 1) * 8, :] = vcur
+
+        @pl.when(kidx * psz < pos)
+        def _():
+            rows = 8 * n_kv
+            cols = n_kv * psz
+            q_all = q_scr[:]                                    # (8k, d)
+            k2 = kc_ref[0].reshape(cols, head_d).astype(jnp.float32)
             s = jax.lax.dot_general(
-                q8, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (8, ctx)
-            s = jnp.where(mask, s, -jnp.inf)
-            kcur = k_row[:, h * head_d:(h + 1) * head_d]        # (8, d)
-            s_cur = jnp.sum(q8 * kcur, axis=1, keepdims=True)   # (8, 1)
-            m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_cur)
-            p = jnp.exp(s - m)
-            pc = jnp.exp(s_cur - m)
-            denom = jnp.sum(p, axis=1, keepdims=True) + pc
-            p_scr[h * 8:(h + 1) * 8, :] = p / denom
-            vcur = v_row[:, h * head_d:(h + 1) * head_d]        # (8, d)
-            cv_scr[h * 8:(h + 1) * 8, :] = (pc / denom) * vcur
+                q_all, k2, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (8k, k*psz)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+            valid = ((ri // 8) == (ci // psz)) & \
+                ((kidx * psz + (ci % psz)) < pos)
+            s = jnp.where(valid, s, -jnp.inf)
+            m_old = m_scr[:, 0:1]                               # (8k, 1)
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+            corr = jnp.exp(m_old - m_new)
+            pe = jnp.exp(s - m_new)   # masked cols are exactly 0
+            v2 = vc_ref[0].reshape(cols, head_d).astype(jnp.float32)
+            av = jax.lax.dot_general(
+                pe, v2, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (8k, d)
+            acc_scr[:] = acc_scr[:] * corr + av
+            l_scr[:] = l_scr[:] * corr + jnp.sum(pe, axis=1, keepdims=True)
+            m_scr[:] = jnp.broadcast_to(m_new, (rows, head_d))
 
-    @pl.when(role == R_ATTV)
+    @pl.when(role == R_ATTF)
     def _():
         ciota = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
         outs = []
         for h in range(n_kv):
-            vh = vc_ref[0, h].astype(jnp.float32)               # (ctx, d)
-            av = jax.lax.dot_general(
-                p_scr[h * 8:(h + 1) * 8, :], vh,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (8, d)
-            av = av + cv_scr[h * 8:(h + 1) * 8]
+            av = acc_scr[h * 8:(h + 1) * 8, :] / \
+                l_scr[h * 8:(h + 1) * 8, :]
             for i in range(g):
                 # replicate row i across all 8 rows via a selector dot
                 sel = (ciota == i).astype(jnp.float32)          # (8, 8)
@@ -363,8 +417,8 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
                         rope_base: float, rope_freq_factors=None,
                         interpret: bool = False):
     """x (1, H) f32; kv_k/kv_v (L, n_kv, CTX, D); pos = cache row to attend
-    up to (history rows [0, pos)); the current token's K/V fold analytically
-    and are returned for the caller to write at `pos`.
+    up to (history rows [0, pos)); the current token's K/V fold into the
+    flash init and are returned for the caller to write at `pos`.
 
     Returns (logits (1, vocab_pad) f32 — caller slices the real vocab,
     k_new (L, KV), v_new (L, KV)). Runs the Pallas kernel on TPU and the
@@ -372,16 +426,17 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
     keep the phase megastep instead.
     """
     from .attention import rope_freqs
-    vocab_pad, ffn = flat.vocab_pad, flat.ffn
+    vocab_pad, ffn, psz = flat.vocab_pad, flat.ffn, flat.psz
     L = flat.norms.shape[0]
     hidden = flat.norms.shape[2]
     T = flat.meta.shape[1]
-    tn = flat.codes.shape[2]
-    kkq = flat.scales.shape[1] * QK
+    tn = flat.codes0.shape[2]
+    kkq = flat.scales0.shape[1] * 2 * QK
     head_d = hidden // n_heads
     kvh = n_kv * head_d
     kvn_dim = hidden + 2 * kvh
     ctx = kv_k.shape[2]
+    assert ctx % psz == 0 and ctx // psz >= 1, (ctx, psz)
     inv = rope_freqs(head_d, rope_base, rope_freq_factors).reshape(1, -1)
     x8 = jnp.broadcast_to(x.astype(jnp.float32), (8, hidden))
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
@@ -392,11 +447,9 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
     def nmmap(t, m, p):
         return (m[M_LAYER, t], 0, 0)
 
-    def kmap(t, m, p):
-        return (m[M_KL, t], 0, 0, 0)
-
-    def vmap_(t, m, p):
-        return (m[M_VL, t], 0, 0, 0)
+    def kvmap(t, m, p):
+        page = jnp.minimum(m[M_PG, t], jnp.maximum(p[0] - 1, 0) // psz)
+        return (m[M_KL, t], 0, page, 0)
 
     def lgmap(t, m, p):
         return (0, m[M_OUTN, t])
@@ -407,12 +460,14 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
         in_specs=[
             pl.BlockSpec((8, hidden), lambda t, m, p: (0, 0)),
             pl.BlockSpec((1, head_d // 2), lambda t, m, p: (0, 0)),
-            pl.BlockSpec((1, flat.codes.shape[1], tn), cmap),
-            pl.BlockSpec((1, flat.scales.shape[1], tn), cmap),
+            pl.BlockSpec((1, flat.codes0.shape[1], tn), cmap),
+            pl.BlockSpec((1, flat.scales0.shape[1], tn), cmap),
+            pl.BlockSpec((1, flat.codes1.shape[1], tn), cmap),
+            pl.BlockSpec((1, flat.scales1.shape[1], tn), cmap),
             pl.BlockSpec((1, 2, hidden), nmmap),
             pl.BlockSpec((1, hidden), lambda t, m, p: (0, 0)),
-            pl.BlockSpec((1, n_kv, ctx, head_d), kmap),
-            pl.BlockSpec((1, n_kv, ctx, head_d), vmap_),
+            pl.BlockSpec((1, n_kv, psz, head_d), kvmap),
+            pl.BlockSpec((1, n_kv, psz, head_d), kvmap),
         ],
         out_specs=[
             pl.BlockSpec((8, tn), lgmap),
@@ -424,8 +479,10 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
             pltpu.VMEM((8, hidden), jnp.float32),       # h (rms'd input)
             pltpu.VMEM((8, kvn_dim), jnp.float32),      # qkv accumulator
             pltpu.VMEM((8, hidden), jnp.float32),       # attention out
-            pltpu.VMEM((8 * n_kv, ctx), jnp.float32),   # p / denom
-            pltpu.VMEM((8 * n_kv, head_d), jnp.float32),  # current-tok av
+            pltpu.VMEM((8 * n_kv, head_d), jnp.float32),  # q rows
+            pltpu.VMEM((8 * n_kv, head_d), jnp.float32),  # flash m
+            pltpu.VMEM((8 * n_kv, head_d), jnp.float32),  # flash l
+            pltpu.VMEM((8 * n_kv, head_d), jnp.float32),  # flash acc
             pltpu.VMEM((8, ffn), jnp.float32),          # up accumulator
             pltpu.VMEM((8, ffn), jnp.float32),          # gate -> activation
         ],
@@ -433,7 +490,7 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
     logits, k_new, v_new = pl.pallas_call(
         functools.partial(_flat_kernel, n_heads=n_heads, n_kv=n_kv,
                           hidden=hidden, head_d=head_d, bias=_BIAS[qtype],
-                          kk=kkq, tn=tn, ffn=ffn),
+                          kk=kkq, tn=tn, ffn=ffn, psz=psz),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, vocab_pad), jnp.float32),
@@ -443,6 +500,6 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(flat.meta, pos_arr, x8, inv, flat.codes, flat.scales, flat.norms,
-      flat.out_norm, kv_k, kv_v)
+    )(flat.meta, pos_arr, x8, inv, flat.codes0, flat.scales0, flat.codes1,
+      flat.scales1, flat.norms, flat.out_norm, kv_k, kv_v)
     return logits[:1], k_new[:, 0, :], v_new[:, 0, :]

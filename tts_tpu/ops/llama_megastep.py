@@ -368,3 +368,275 @@ def llama_megastep_reference(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *,
           mega.down_codes, mega.down_scales, mega.norms, kv_k, kv_v)
     x_out, (k_new, v_new) = jax.lax.scan(layer, x, xs)
     return x_out, k_new, v_new
+
+
+# ---------------------------------------------------------------------------
+# batched megastep: B slots per step, ONE weight read serves all of them
+# ---------------------------------------------------------------------------
+#
+# Port of ops/parler_megastep.parler_megastep_batched to the llama
+# architecture (GQA, NeoX rope at per-slot positions, SiLU MLP): the 8 f32
+# sublane rows carry 8 DISTINCT batch slots, so the ~1.7 GB/step weight
+# stream is amortized B ways — the reference can only scale Orpheus by
+# full model replicas (examples/server/server.cpp:885-897). Grid is
+# (L, n_pages + n_ffn): per-slot KV pages fold flash-style with the page
+# index map clamped at the max live page across slots (dead pages cost no
+# DMA), then the FFN streams in fc-wide slices as in the single-stream
+# phase kernel. Attention state is kept h-major ((g, n_kv*B, d) blocks)
+# so KV page blocks reshape to matching rows without sublane relayouts.
+
+
+def _llama_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
+                          o_c, o_s, g_c, g_s, u_c, u_s, d_c, d_s, norms,
+                          kc_ref, vc_ref, x_out, k_out, v_out,
+                          x_scr, h_scr, q_scr, k_scr, v_scr,
+                          acc_scr, m_scr, l_scr,
+                          *, n_layers, n_pages, n_ffn, n_heads, n_kv,
+                          hidden, head_d, b, page, bias):
+    l = pl.program_id(0)
+    p = pl.program_id(1)
+    scale = 1.0 / np.sqrt(head_d)
+    g = n_heads // n_kv
+    kvh = n_kv * head_d
+    rows = n_kv * b
+    h2d = head_d // 2
+
+    @pl.when((l == 0) & (p == 0))
+    def _():
+        x_scr[:] = x_ref[:]
+
+    @pl.when(p == 0)
+    def _():
+        nm = norms[0]
+        x = x_scr[:]                                       # (B, H)
+        h1 = _rms(x, nm[0:1])
+        qkv = _dqdot(h1, qkv_c[0], qkv_s[0], bias)         # (B, H+2KV)
+        pos_b = pos_ref[0:b].astype(jnp.float32)           # (B, 1)
+        ang = pos_b * inv_ref[0:1]                         # (B, d/2)
+        cosd = jnp.concatenate([jnp.cos(ang)] * 2, axis=1)
+        sind = jnp.concatenate([jnp.sin(ang)] * 2, axis=1)
+
+        def rope_full(y, nh):
+            from jax.experimental.pallas import tpu as pltpu
+            cw = jnp.concatenate([cosd] * nh, axis=1)
+            sw = jnp.concatenate([sind] * nh, axis=1)
+            rn = pltpu.roll(y, y.shape[1] - h2d, 1)
+            rp = pltpu.roll(y, h2d, 1)
+            li = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+            return y * cw + jnp.where((li % head_d) < h2d, -rn, rp) * sw
+
+        qrow = rope_full(qkv[:, :hidden], n_heads)
+        k_row = rope_full(qkv[:, hidden:hidden + kvh], n_kv)
+        v_row = qkv[:, hidden + kvh:hidden + 2 * kvh]
+        k_out[0] = k_row
+        v_out[0] = v_row
+        # h-major staging: row h*B + slot
+        k_scr[:] = jnp.concatenate(
+            [k_row[:, h * head_d:(h + 1) * head_d] for h in range(n_kv)],
+            axis=0)
+        v_scr[:] = jnp.concatenate(
+            [v_row[:, h * head_d:(h + 1) * head_d] for h in range(n_kv)],
+            axis=0)
+        for gi in range(g):
+            q_scr[gi] = jnp.concatenate(
+                [qrow[:, (h * g + gi) * head_d:(h * g + gi + 1) * head_d]
+                 for h in range(n_kv)], axis=0) * scale
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        # finite sentinel, NOT -inf (see parler_megastep batched kernel)
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    @pl.when((p < n_pages) & (p <= mp_ref[0]))
+    def _():
+        k3 = kc_ref[:].transpose(1, 0, 2, 3).reshape(rows, page, head_d) \
+            .astype(jnp.float32)
+        v3 = vc_ref[:].transpose(1, 0, 2, 3).reshape(rows, page, head_d) \
+            .astype(jnp.float32)
+        j = p * page + jax.lax.broadcasted_iota(jnp.int32, (rows, page), 1)
+        live = j < pos_ref[:]
+        for gi in range(g):
+            s = jnp.sum(q_scr[gi][:, None, :] * k3, axis=2)  # (rows, page)
+            s = jnp.where(live, s, -1e30)
+            m_prev = m_scr[gi, :, 0]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+            alpha = jnp.exp(m_prev - m_new)
+            pexp = jnp.exp(s - m_new[:, None])
+            l_scr[gi, :, 0] = l_scr[gi, :, 0] * alpha + jnp.sum(pexp, axis=1)
+            acc_scr[gi] = acc_scr[gi] * alpha[:, None] + \
+                jnp.sum(pexp[:, :, None] * v3, axis=1)
+            m_scr[gi, :, 0] = m_new
+
+    @pl.when(p == n_pages - 1)
+    def _():
+        # fold the current token analytically, assemble (B, H) attention
+        kcur = k_scr[:]
+        vcur = v_scr[:]
+        att_blocks = []
+        for gi in range(g):
+            s_cur = jnp.sum(q_scr[gi] * kcur, axis=1, keepdims=True)
+            m_f = jnp.maximum(m_scr[gi], s_cur)
+            alpha = jnp.exp(m_scr[gi] - m_f)
+            pc = jnp.exp(s_cur - m_f)
+            denom = l_scr[gi] * alpha + pc
+            att_blocks.append((acc_scr[gi] * alpha + pc * vcur) / denom)
+        attn = jnp.concatenate(
+            [att_blocks[gi][h * b:(h + 1) * b, :]
+             for h in range(n_kv) for gi in range(g)], axis=1)  # (B, H)
+        o = _dqdot(attn, o_c[0], o_s[0], bias)
+        x = x_scr[:] + o
+        x_scr[:] = x
+        h_scr[:] = _rms(x, norms[0][1:2])
+
+    @pl.when(p >= n_pages)
+    def _():
+        h2 = h_scr[:]
+        gate = _dqdot(h2, g_c[0], g_s[0], bias)            # (B, FC)
+        up = _dqdot(h2, u_c[0], u_s[0], bias)
+        a = jax.nn.silu(gate) * up
+        down = _dqdot(a, d_c[0], d_s[0], bias)             # (B, H)
+        x_scr[:] = x_scr[:] + down
+
+        @pl.when((l == n_layers - 1) & (p == n_pages + n_ffn - 1))
+        def _():
+            x_out[:] = x_scr[:]
+
+
+def llama_megastep_batched(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *,
+                           qtype: int, n_heads: int, n_kv: int,
+                           rope_base: float, rope_freq_factors=None,
+                           page: int = 256, fc: int = 2048):
+    """Batched llama megastep: x (B, H) f32 — one row per slot; kv_k/kv_v
+    (L, B, n_kv, CTX, D); pos (B,) int32 per-slot cache rows.
+
+    Returns (x_out (B, H) pre-final-norm, k_new (L, B, KV), v_new
+    (L, B, KV)); the caller writes each slot's cache row at pos[slot] and
+    applies final norm + LM head. TPU requires B % 8 == 0 and
+    CTX % page == 0; otherwise (and on CPU/tests) dispatches to a per-slot
+    loop over the XLA reference with identical math."""
+    b = x.shape[0]
+    ctx = kv_k.shape[-2]
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu or b % 8 or ctx % page:
+        return llama_megastep_batched_reference(
+            mega, x, kv_k, kv_v, pos, qtype=qtype, n_heads=n_heads,
+            n_kv=n_kv, rope_base=rope_base,
+            rope_freq_factors=rope_freq_factors)
+    return _llama_megastep_batched_tpu(
+        mega, x, kv_k, kv_v, pos, qtype=qtype, n_heads=n_heads, n_kv=n_kv,
+        rope_base=rope_base, rope_freq_factors=rope_freq_factors,
+        page=page, fc=fc)
+
+
+@functools.partial(jax.jit, static_argnames=("qtype", "n_heads", "n_kv",
+                                             "rope_base", "page", "fc"))
+def _llama_megastep_batched_tpu(mega: LlamaMegaLayers, x, kv_k, kv_v, pos,
+                                *, qtype: int, n_heads: int, n_kv: int,
+                                rope_base: float, rope_freq_factors,
+                                page: int, fc: int):
+    L = mega.qkv_codes.shape[0]
+    hidden = mega.qkv_scales.shape[1] * QK
+    f = mega.gate_codes.shape[2]
+    pk = hidden // mega.qkv_codes.shape[1]
+    b, kvh_n, ctx, d = kv_k.shape[1], kv_k.shape[2], kv_k.shape[3], \
+        kv_k.shape[4]
+    head_d = hidden // n_heads
+    fc = min(fc, f)
+    n_ffn = f // fc
+    n_pages = ctx // page
+    kv_n = hidden + 2 * n_kv * head_d
+    inv = _inv_freq_row(head_d, rope_base, rope_freq_factors)
+    pos = jnp.asarray(pos, jnp.int32)
+    mp = jnp.max(jnp.maximum(pos - 1, 0)) // page
+    mp_arr = mp.reshape(1)
+    pos_rows = jnp.tile(pos, (n_kv,))[:, None]             # (n_kv*B, 1)
+    kv_k5 = kv_k.reshape(L * b, kvh_n, ctx, d)
+    kv_v5 = kv_v.reshape(L * b, kvh_n, ctx, d)
+
+    def at_l(i, p, mp):
+        return (i, 0, 0)
+
+    def ffn_hk(i, p, mp):
+        return (i, 0, jnp.maximum(p - n_pages, 0))
+
+    def ffn_kh(i, p, mp):
+        return (i, jnp.maximum(p - n_pages, 0), 0)
+
+    def kv_map(i, p, mp):
+        return (i, 0, jnp.minimum(p, mp[0]), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, n_pages + n_ffn),
+        in_specs=[
+            pl.BlockSpec((n_kv * b, 1), lambda i, p, mp: (0, 0)),
+            pl.BlockSpec((b, hidden), lambda i, p, mp: (0, 0)),
+            pl.BlockSpec((1, head_d // 2), lambda i, p, mp: (0, 0)),
+            pl.BlockSpec((1, hidden // pk, kv_n), at_l),
+            pl.BlockSpec((1, hidden // QK, kv_n), at_l),
+            pl.BlockSpec((1, hidden // pk, hidden), at_l),
+            pl.BlockSpec((1, hidden // QK, hidden), at_l),
+            pl.BlockSpec((1, hidden // pk, fc), ffn_hk),
+            pl.BlockSpec((1, hidden // QK, fc), ffn_hk),
+            pl.BlockSpec((1, hidden // pk, fc), ffn_hk),
+            pl.BlockSpec((1, hidden // QK, fc), ffn_hk),
+            pl.BlockSpec((1, fc // pk, hidden), ffn_kh),
+            pl.BlockSpec((1, fc // QK, hidden), ffn_kh),
+            pl.BlockSpec((1, 2, hidden), at_l),
+            pl.BlockSpec((b, kvh_n, page, d), kv_map),
+            pl.BlockSpec((b, kvh_n, page, d), kv_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, hidden), lambda i, p, mp: (0, 0)),
+            pl.BlockSpec((1, b, n_kv * head_d), at_l),
+            pl.BlockSpec((1, b, n_kv * head_d), at_l),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),              # x residual
+            pltpu.VMEM((b, hidden), jnp.float32),              # h2
+            pltpu.VMEM((n_heads // n_kv, n_kv * b, head_d),
+                       jnp.float32),                           # q rows
+            pltpu.VMEM((n_kv * b, head_d), jnp.float32),       # k cur
+            pltpu.VMEM((n_kv * b, head_d), jnp.float32),       # v cur
+            pltpu.VMEM((n_heads // n_kv, n_kv * b, head_d),
+                       jnp.float32),                           # flash acc
+            pltpu.VMEM((n_heads // n_kv, n_kv * b, 1), jnp.float32),
+            pltpu.VMEM((n_heads // n_kv, n_kv * b, 1), jnp.float32),
+        ],
+    )
+    x_out, k_new, v_new = pl.pallas_call(
+        functools.partial(_llama_batched_kernel, n_layers=L,
+                          n_pages=n_pages, n_ffn=n_ffn, n_heads=n_heads,
+                          n_kv=n_kv, hidden=hidden, head_d=head_d, b=b,
+                          page=page, bias=_BIAS[qtype]),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((L, b, n_kv * head_d), jnp.float32),
+            jax.ShapeDtypeStruct((L, b, n_kv * head_d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(mp_arr, pos_rows, x.astype(jnp.float32), inv, mega.qkv_codes,
+      mega.qkv_scales.astype(jnp.float32), mega.o_codes, mega.o_scales,
+      mega.gate_codes, mega.gate_scales, mega.up_codes, mega.up_scales,
+      mega.down_codes, mega.down_scales, mega.norms, kv_k5, kv_v5)
+    return x_out, k_new, v_new
+
+
+def llama_megastep_batched_reference(mega: LlamaMegaLayers, x, kv_k, kv_v,
+                                     pos, *, qtype: int, n_heads: int,
+                                     n_kv: int, rope_base: float,
+                                     rope_freq_factors=None):
+    """Per-slot loop over the single-slot reference (the batched kernel is
+    the single kernel applied independently per slot)."""
+    pos = jnp.asarray(pos, jnp.int32)
+    outs = [llama_megastep_reference(
+        mega, x[s:s + 1], kv_k[:, s], kv_v[:, s], pos[s], qtype=qtype,
+        n_heads=n_heads, n_kv=n_kv, rope_base=rope_base,
+        rope_freq_factors=rope_freq_factors) for s in range(x.shape[0])]
+    return (jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.stack([o[1] for o in outs], axis=1),
+            jnp.stack([o[2] for o in outs], axis=1))

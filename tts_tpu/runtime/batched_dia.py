@@ -31,9 +31,9 @@ from ..ops.linear import matmul
 class BatchedDiaState(NamedTuple):
     kv_k: Any          # (L, B, 2, n_kv, ctx, D)
     kv_v: Any
-    cross_k: Any       # (B, L, 2, heads, Sb, D) bf16
-    cross_v: Any
-    vtail: Any         # (B, L, 2, heads, D) f32
+    cross_k: Any       # (L, B, 2, heads, Sb, D) bf16 — L-major so the
+    cross_v: Any       #   batched megastep reshapes it to blocks for free
+    vtail: Any         # (L, B, 2, heads, D) f32
     pos: Any           # (B,)
     tokens_in: Any     # (B, n_heads)
     delay_steps: Any   # (B,) int32, -1 = not triggered
@@ -59,9 +59,9 @@ def init_batched_dia_state(cfg: DiaConfig, b: int, key,
     return BatchedDiaState(
         kv_k=jnp.zeros((L, b, 2, nkv, ctx, d), dt),
         kv_v=jnp.zeros((L, b, 2, nkv, ctx, d), dt),
-        cross_k=jnp.zeros((b, L, 2, heads, cross_bucket, d), jnp.bfloat16),
-        cross_v=jnp.zeros((b, L, 2, heads, cross_bucket, d), jnp.bfloat16),
-        vtail=jnp.zeros((b, L, 2, heads, d), jnp.float32),
+        cross_k=jnp.zeros((L, b, 2, heads, cross_bucket, d), jnp.bfloat16),
+        cross_v=jnp.zeros((L, b, 2, heads, cross_bucket, d), jnp.bfloat16),
+        vtail=jnp.zeros((L, b, 2, heads, d), jnp.float32),
         pos=jnp.zeros((b,), jnp.int32),
         tokens_in=jnp.full((b, nh), cfg.bos_token_id, jnp.int32),
         delay_steps=jnp.full((b,), -1, jnp.int32),
@@ -82,10 +82,12 @@ def _not_done(cfg: DiaConfig, st: BatchedDiaState):
     return st.active & ~st.done & (st.pos < cfg.max_generation_size)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "n_tail"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "n_tail",
+                                             "mega_qtype"))
 def batched_dia_decode_chunk(cfg: DiaConfig, w: DiaWeights,
                              st: BatchedDiaState, *, n_steps: int,
-                             n_tail: int) -> BatchedDiaState:
+                             n_tail: int, mega=None,
+                             mega_qtype=None) -> BatchedDiaState:
     b = st.pos.shape[0]
     nh = cfg.n_output_heads
     heads, nkv, d = cfg.decoder_attn_heads, cfg.n_kv_heads, cfg.head_size
@@ -117,6 +119,26 @@ def batched_dia_decode_chunk(cfg: DiaConfig, w: DiaWeights,
         x = jnp.broadcast_to(jnp.sum(embs, axis=1)[:, None, :], (b, 2, H))
         x = x.reshape(b * 2, H)
         pos2 = jnp.repeat(pos_c, 2)                      # (B*2,)
+
+        if mega is not None:
+            # batched megakernel: one weight read serves every CFG pair
+            from ..ops.dia_megastep import dia_megastep_batched
+            xo, kn, vn = dia_megastep_batched(
+                mega, x, st.kv_k, st.kv_v, pos_c, st.cross_k, st.cross_v,
+                st.vtail, n_tail, qtype=mega_qtype, n_heads=heads,
+                n_kv=nkv)
+            kv_k, kv_v = st.kv_k, st.kv_v
+            for s in range(b):
+                kv_k = jax.lax.dynamic_update_slice(
+                    kv_k, kn[:, 2 * s:2 * s + 2].reshape(
+                        L, 1, 2, nkv, 1, d).astype(kv_k.dtype),
+                    (0, s, 0, 0, pos_c[s], 0))
+                kv_v = jax.lax.dynamic_update_slice(
+                    kv_v, vn[:, 2 * s:2 * s + 2].reshape(
+                        L, 1, 2, nkv, 1, d).astype(kv_v.dtype),
+                    (0, s, 0, 0, pos_c[s], 0))
+            x = _rms(xo, w.dec_norm)
+            return _finish(st, x, cont, now_done, ds, pos_c, kv_k, kv_v)
 
         def layer(carry, inp):
             xc = carry                                   # (B*2, H)
@@ -169,12 +191,14 @@ def batched_dia_decode_chunk(cfg: DiaConfig, w: DiaWeights,
             return xc, (kk.reshape(b, 2, nkv, max_steps, d),
                         vv.reshape(b, 2, nkv, max_steps, d))
 
-        ck_l = jnp.moveaxis(st.cross_k, 0, 1)            # (L, B, 2, h, Sb, D)
-        cv_l = jnp.moveaxis(st.cross_v, 0, 1)
-        vt_l = jnp.moveaxis(st.vtail, 0, 1)
+        # state cross arrays are already L-major (kernel layout)
         x, (kv_k, kv_v) = jax.lax.scan(
-            layer, x, (w.dec_layers, st.kv_k, st.kv_v, ck_l, cv_l, vt_l))
+            layer, x, (w.dec_layers, st.kv_k, st.kv_v, st.cross_k,
+                       st.cross_v, st.vtail))
         x = _rms(x, w.dec_norm)
+        return _finish(st, x, cont, now_done, ds, pos_c, kv_k, kv_v)
+
+    def _finish(st, x, cont, now_done, ds, pos_c, kv_k, kv_v):
         out = matmul(x, w.heads)                         # (B*2, nh*vocab+)
         vocab_p = out.shape[-1] // nh
         out = out.reshape(b, 2, nh, vocab_p)[:, :, :, : cfg.output_vocab_size]
@@ -240,9 +264,9 @@ def insert_dia_request(cfg: DiaConfig, st: BatchedDiaState, slot,
         kv_v=jax.lax.dynamic_update_slice(
             st.kv_v, jnp.zeros((L, 1, 2, nkv, ctx, d), st.kv_v.dtype),
             (0, slot, 0, 0, 0, 0)),
-        cross_k=st.cross_k.at[slot].set(ck.astype(st.cross_k.dtype)),
-        cross_v=st.cross_v.at[slot].set(cv.astype(st.cross_v.dtype)),
-        vtail=st.vtail.at[slot].set(vtail),
+        cross_k=st.cross_k.at[:, slot].set(ck.astype(st.cross_k.dtype)),
+        cross_v=st.cross_v.at[:, slot].set(cv.astype(st.cross_v.dtype)),
+        vtail=st.vtail.at[:, slot].set(vtail),
         pos=st.pos.at[slot].set(0),
         tokens_in=st.tokens_in.at[slot].set(
             jnp.full((nh,), cfg.bos_token_id, jnp.int32)),
@@ -277,6 +301,8 @@ class BatchedDiaEngine:
         self.cross_bucket = min(cross_bucket,
                                 cfg.max_encoder_context_length)
         self.n_tail = cfg.max_encoder_context_length - self.cross_bucket
+        from ..models.dia.model import maybe_prep_dia_mega
+        self.mega, self.mega_qtype = maybe_prep_dia_mega(cfg, weights)
         self.state = init_batched_dia_state(cfg, n_slots,
                                             jax.random.PRNGKey(seed),
                                             cross_bucket=self.cross_bucket)
@@ -344,10 +370,10 @@ class BatchedDiaEngine:
             self.slot_req[slot] = rid
 
     def step(self) -> List[int]:
-        self.state = batched_dia_decode_chunk(self.cfg, self.weights,
-                                              self.state,
-                                              n_steps=self.chunk,
-                                              n_tail=self.n_tail)
+        self.state = batched_dia_decode_chunk(
+            self.cfg, self.weights, self.state, n_steps=self.chunk,
+            n_tail=self.n_tail, mega=self.mega,
+            mega_qtype=self.mega_qtype)
         done_mask = ~np.asarray(_not_done(self.cfg, self.state))
         finished = []
         for slot in range(self.n_slots):

@@ -53,7 +53,8 @@ class BatchedLlamaState(NamedTuple):
 def init_batched_llama_state(cfg: OrpheusConfig, b: int,
                              key) -> BatchedLlamaState:
     from ..common import kv_cache_dtype
-    ctx = cfg.max_context_length + cfg.max_generation_size
+    # ctx rounds up to the batched megakernel's 256-row KV page
+    ctx = -(-(cfg.max_context_length + cfg.max_generation_size) // 256) * 256
     dt = kv_cache_dtype()
     return BatchedLlamaState(
         kv_k=jnp.zeros((cfg.n_layers, b, cfg.n_kv_heads, ctx, cfg.head_size),
@@ -80,10 +81,12 @@ def _not_done(cfg: OrpheusConfig, st: BatchedLlamaState):
     return st.active & ~st.done & (st.n_out < cfg.max_generation_size)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps",
+                                             "mega_qtype"))
 def batched_llama_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
-                               st: BatchedLlamaState, *,
-                               n_steps: int) -> BatchedLlamaState:
+                               st: BatchedLlamaState, *, n_steps: int,
+                               mega=None,
+                               mega_qtype=None) -> BatchedLlamaState:
     b = st.pos.shape[0]
     nh, nkv, d = cfg.n_attn_heads, cfg.n_kv_heads, cfg.head_size
     inv = rope_freqs(d, cfg.rope_theta, w.rope_freqs)       # (d//2,)
@@ -91,41 +94,61 @@ def batched_llama_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
     def step(st: BatchedLlamaState, _):
         cont = _not_done(cfg, st)
         x = take_rows(w.embd, st.token_in)                  # (B, H)
-        ang = st.pos[:, None].astype(jnp.float32) * inv[None, :]
-        cos = jnp.cos(ang)[:, None, :]                      # (B, 1, d/2)
-        sin = jnp.sin(ang)[:, None, :]
 
-        def rope(y):                                        # (B, n, d) NeoX
-            y1, y2 = y[..., : d // 2], y[..., d // 2:]
-            return jnp.concatenate([y1 * cos - y2 * sin,
-                                    y2 * cos + y1 * sin], axis=-1)
-
-        def layer(carry, inp):
-            xc = carry
-            lw, kk, vv = inp                                # kk (B,nkv,ctx,D)
-            h = _rms(xc, lw.in_norm)
-            q = rope(matmul(h, lw.q).reshape(b, nh, d))
-            k = rope(matmul(h, lw.k).reshape(b, nkv, d))
-            v = matmul(h, lw.v).reshape(b, nkv, d)
-            # unconditional unrolled per-slot row writes — see
-            # batched_parler._batched_layer for why (no cont-mask, no vmap)
+        if mega is not None:
+            # batched megakernel: ONE weight read serves every slot
+            from ..ops.llama_megastep import llama_megastep_batched
+            L = cfg.n_layers
+            xo, kn, vn = llama_megastep_batched(
+                mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
+                n_heads=nh, n_kv=nkv, rope_base=cfg.rope_theta,
+                rope_freq_factors=w.rope_freqs)
+            kv_k, kv_v = st.kv_k, st.kv_v
             for s in range(b):
-                kk = jax.lax.dynamic_update_slice(
-                    kk, k[s][None, :, None, :].astype(kk.dtype),
-                    (s, 0, st.pos[s], 0))
-                vv = jax.lax.dynamic_update_slice(
-                    vv, v[s][None, :, None, :].astype(vv.dtype),
-                    (s, 0, st.pos[s], 0))
-            attn = decode_attention_batched(q, kk, vv, st.pos)
-            xc = xc + matmul(attn.reshape(b, nh * d), lw.o)
-            h = _rms(xc, lw.post_norm)
-            xc = xc + matmul(
-                jax.nn.silu(matmul(h, lw.gate)) * matmul(h, lw.up), lw.down)
-            return xc, (kk, vv)
+                kv_k = jax.lax.dynamic_update_slice(
+                    kv_k, kn[:, s].reshape(L, 1, nkv, 1, d)
+                    .astype(kv_k.dtype), (0, s, 0, st.pos[s], 0))
+                kv_v = jax.lax.dynamic_update_slice(
+                    kv_v, vn[:, s].reshape(L, 1, nkv, 1, d)
+                    .astype(kv_v.dtype), (0, s, 0, st.pos[s], 0))
+            h = _rms(xo, w.out_norm)
+        else:
+            ang = st.pos[:, None].astype(jnp.float32) * inv[None, :]
+            cos = jnp.cos(ang)[:, None, :]                  # (B, 1, d/2)
+            sin = jnp.sin(ang)[:, None, :]
 
-        x, (kv_k, kv_v) = jax.lax.scan(layer, x,
-                                       (w.layers, st.kv_k, st.kv_v))
-        h = _rms(x, w.out_norm)
+            def rope(y):                                    # (B, n, d) NeoX
+                y1, y2 = y[..., : d // 2], y[..., d // 2:]
+                return jnp.concatenate([y1 * cos - y2 * sin,
+                                        y2 * cos + y1 * sin], axis=-1)
+
+            def layer(carry, inp):
+                xc = carry
+                lw, kk, vv = inp                            # kk (B,nkv,ctx,D)
+                h = _rms(xc, lw.in_norm)
+                q = rope(matmul(h, lw.q).reshape(b, nh, d))
+                k = rope(matmul(h, lw.k).reshape(b, nkv, d))
+                v = matmul(h, lw.v).reshape(b, nkv, d)
+                # unconditional unrolled per-slot row writes — see
+                # batched_parler._batched_layer for why (no cont, no vmap)
+                for s in range(b):
+                    kk = jax.lax.dynamic_update_slice(
+                        kk, k[s][None, :, None, :].astype(kk.dtype),
+                        (s, 0, st.pos[s], 0))
+                    vv = jax.lax.dynamic_update_slice(
+                        vv, v[s][None, :, None, :].astype(vv.dtype),
+                        (s, 0, st.pos[s], 0))
+                attn = decode_attention_batched(q, kk, vv, st.pos)
+                xc = xc + matmul(attn.reshape(b, nh * d), lw.o)
+                h = _rms(xc, lw.post_norm)
+                xc = xc + matmul(
+                    jax.nn.silu(matmul(h, lw.gate)) * matmul(h, lw.up),
+                    lw.down)
+                return xc, (kk, vv)
+
+            x, (kv_k, kv_v) = jax.lax.scan(layer, x,
+                                           (w.layers, st.kv_k, st.kv_v))
+            h = _rms(x, w.out_norm)
         logits = matmul(h, w.head)[:, : cfg.vocab_size]     # (B, vocab)
         key, sub = jax.random.split(st.key)
         toks, s_state = sampling.sample_batched(
@@ -209,6 +232,8 @@ class BatchedLlamaEngine:
         self.n_slots = n_slots
         self.chunk = chunk
         self.prompt_buckets = prompt_buckets
+        from ..models.orpheus.model import maybe_prep_llama_mega
+        self.mega, self.mega_qtype = maybe_prep_llama_mega(cfg, weights)
         self.state = init_batched_llama_state(cfg, n_slots,
                                               jax.random.PRNGKey(seed))
         self.slot_req: List[Optional[int]] = [None] * n_slots
@@ -253,7 +278,8 @@ class BatchedLlamaEngine:
         toks = np.zeros(p, np.int32)
         toks[: len(ids)] = ids
         from ..common import kv_cache_dtype
-        ctx = cfg.max_context_length + cfg.max_generation_size
+        ctx = -(-(cfg.max_context_length
+                  + cfg.max_generation_size) // 256) * 256
         shape = (cfg.n_layers, cfg.n_kv_heads, ctx, cfg.head_size)
         dt = kv_cache_dtype()
         logits, kv_k, kv_v = orpheus_prefill(
@@ -287,9 +313,9 @@ class BatchedLlamaEngine:
 
     def step(self) -> List[int]:
         """Run one decode chunk; returns newly finished request ids."""
-        self.state = batched_llama_decode_chunk(self.cfg, self.weights,
-                                                self.state,
-                                                n_steps=self.chunk)
+        self.state = batched_llama_decode_chunk(
+            self.cfg, self.weights, self.state, n_steps=self.chunk,
+            mega=self.mega, mega_qtype=self.mega_qtype)
         done_mask = ~np.asarray(_not_done(self.cfg, self.state))
         finished = []
         for slot in range(self.n_slots):
