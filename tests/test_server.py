@@ -348,3 +348,78 @@ def test_stream_admission_and_metrics():
         assert m["audio_seconds_total"] > 0
     finally:
         httpd.shutdown()
+
+
+def test_streams_ride_the_batched_engine(tmp_path, rng):
+    """Round-5 task: streaming composes with continuous batching — 2
+    stream:true + 2 non-stream requests run concurrently through ONE
+    --batch-slots 4 engine; streamed PCM matches the non-stream audio;
+    streams count in /metrics; NO single-stream generate runs on the HTTP
+    thread (runner.generate/generate_stream are booby-trapped)."""
+    from tests.test_e2e_parler import make_tiny_parler_gguf
+    path = tmp_path / "tiny.gguf"
+    make_tiny_parler_gguf(str(path), rng)
+    srv = build_server(str(tmp_path), config=GenerationConfig(sample=False),
+                       batch_slots=4)
+    httpd = serve(srv, "127.0.0.1", 0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    for _ in range(600):
+        if srv.state == "READY":
+            break
+        time.sleep(0.1)
+    assert srv.state == "READY" and "tiny" in srv.batched_workers
+
+    def _booby(*a, **k):
+        raise AssertionError("single-stream generate ran on the HTTP path")
+    runner = srv.runners["tiny"]
+    runner.generate = _booby
+    runner.generate_stream = _booby
+
+    results = {}
+    lock = threading.Lock()
+
+    def req_plain(kk):
+        r = _post(base + "/v1/audio/speech", {"input": "hello world"})
+        with lock:
+            results[kk] = r
+
+    def req_stream(kk):
+        req = urllib.request.Request(
+            base + "/v1/audio/speech",
+            data=json.dumps({"input": "hello world",
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = r.read()
+            with lock:
+                results[kk] = (r.status, body,
+                               r.headers.get("Content-Type", ""))
+
+    threads = [threading.Thread(target=req_stream, args=("s1",)),
+               threading.Thread(target=req_plain, args=("p1",)),
+               threading.Thread(target=req_stream, args=("s2",)),
+               threading.Thread(target=req_plain, args=("p2",))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    httpd.shutdown()
+
+    assert results["p1"][0] in (200, 500)
+    assert results["p1"] == results["p2"]
+    s1, s2 = results["s1"], results["s2"]
+    assert s1[0] == 200 and "audio/pcm" in s1[2]
+    assert s1[1] == s2[1]
+    if results["p1"][0] == 200:
+        # streamed PCM must match the batched non-stream audio (same
+        # greedy decode; the margin logic makes mid-chunks exact)
+        _, wav_body, _ = results["p1"]
+        audio, rate = decode_wav(wav_body)
+        want = (np.clip(audio, -1, 1) * 32767).astype("<i2")
+        got = np.frombuffer(s1[1], "<i2")
+        assert got.shape[0] == want.shape[0], (got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=2)
+    mj = srv.metrics_json()
+    assert mj["streams_total"] >= 2
+    assert mj["requests_total"] >= 4

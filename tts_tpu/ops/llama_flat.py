@@ -181,6 +181,28 @@ def _layer_tiles(codes_t, scales_t, kk: int, tn: int, pack: bool):
     return c0, s0, c1, s1
 
 
+def _layer_tiles_whole(codes_t, scales_t, kk: int, tn: int, pack: bool):
+    """Whole (kk x tn) tiles, single stream (no K-split): (L, nt, kr, tn)
+    codes + (L, nt, kk//QK, tn) bf16 scales, n-outer k-inner order."""
+    from .quant_matmul import unpack_codes_t
+    L = codes_t.shape[0]
+    k = scales_t.shape[1] * QK
+    n = codes_t.shape[2]
+    c = codes_t
+    if c.shape[1] != k:
+        c = unpack_codes_t(c, k).astype(jnp.int8)
+    nk, nn = k // kk, n // tn
+    c = c.reshape(L, nk, kk, nn, tn).transpose(0, 3, 1, 2, 4)
+    if pack:
+        lo = c[..., : kk // 2, :].astype(jnp.uint8)
+        hi = c[..., kk // 2:, :].astype(jnp.uint8)
+        c = jax.lax.bitcast_convert_type((hi << 4) | lo, jnp.int8)
+    c = c.reshape(L, nn * nk, c.shape[-2], tn)
+    s = scales_t.reshape(L, nk, kk // QK, nn, tn).transpose(0, 3, 1, 2, 4)
+    s = s.reshape(L, nn * nk, kk // QK, tn).astype(jnp.bfloat16)
+    return c, s
+
+
 def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
                     n_heads: int, n_kv: int, ctx: int) -> LlamaFlatMega:
     """Build the flat stream from LlamaMegaLayers + the LM head QuantTensor.

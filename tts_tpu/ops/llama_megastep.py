@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..gguf import quants
-from .parler_megastep import _BIAS, _dqdot, _qdot_ref
+from .parler_megastep import _BIAS, _dqdot, _qdot_ref, QK
 
 
 class LlamaMegaLayers(NamedTuple):

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..gguf import quants
 from .parler_megastep import _BIAS, _dqdot, _ln
-from .llama_flat import _layer_tiles, pick_page, pick_tiles
+from .llama_flat import (_layer_tiles, _layer_tiles_whole, pick_page,
+                         pick_tiles)
 from .quant_matmul import QK
 
 # roles
@@ -48,7 +49,8 @@ class ParlerFlatMega:
     """Stream-ordered half-tiles + schedule (pytree; aux = statics)."""
 
     def __init__(self, codes0, scales0, codes1, scales1, meta, norms,
-                 cross_k, cross_v, *, ffn: int, psz: int, use_cross: bool):
+                 cross_k, cross_v, *, ffn: int, psz: int, use_cross: bool,
+                 kk: int, split: bool = True):
         self.codes0 = codes0
         self.scales0 = scales0
         self.codes1 = codes1
@@ -60,15 +62,18 @@ class ParlerFlatMega:
         self.ffn = ffn
         self.psz = psz
         self.use_cross = use_cross
+        self.kk = kk
+        self.split = split
 
     def tree_flatten(self):
         return ((self.codes0, self.scales0, self.codes1, self.scales1,
                  self.meta, self.norms, self.cross_k, self.cross_v),
-                (self.ffn, self.psz, self.use_cross))
+                (self.ffn, self.psz, self.use_cross, self.kk, self.split))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, ffn=aux[0], psz=aux[1], use_cross=aux[2])
+        return cls(*children, ffn=aux[0], psz=aux[1], use_cross=aux[2],
+                   kk=aux[3], split=aux[4])
 
 
 jax.tree_util.register_pytree_node(
@@ -105,8 +110,8 @@ def build_parler_schedule(L: int, hidden: int, ffn: int, kk: int, tn: int,
     return np.asarray(rows, np.int32).T.copy()
 
 
-def prep_parler_flat(mega, qtype: int, ctx: int,
-                     use_cross: bool = True) -> ParlerFlatMega:
+def prep_parler_flat(mega, qtype: int, ctx: int, use_cross: bool = True,
+                     split: bool = False) -> ParlerFlatMega:
     """Build the flat stream from MegaLayers (ops/parler_megastep).
 
     `ctx` is the KV cache context the decode runs with. Raises ValueError
@@ -133,12 +138,17 @@ def prep_parler_flat(mega, qtype: int, ctx: int,
             ]
         mats += [(mega.fc1_codes, mega.fc1_scales.astype(jnp.float32)),
                  (mega.fc2_codes, mega.fc2_scales.astype(jnp.float32))]
-        parts = [[], [], [], []]
+        nparts = 4 if split else 2
+        parts = [[] for _ in range(nparts)]
+        tiler = _layer_tiles if split else _layer_tiles_whole
         for c, s in mats:
-            for i, t in enumerate(_layer_tiles(c, s, kk, tn, pack)):
+            for i, t in enumerate(tiler(c, s, kk, tn, pack)):
                 parts[i].append(t)
         lt = [jnp.concatenate(p, axis=1) for p in parts]
         lt = [a.reshape(-1, a.shape[-2], tn) for a in lt]
+        if not split:
+            lt += [jnp.zeros((1, 1, tn), jnp.int8),
+                   jnp.zeros((1, 1, tn), jnp.bfloat16)]
         return (*lt, mega.norms.astype(jnp.float32))
 
     c0, s0, c1, s1, nm = build(mega)
@@ -149,14 +159,15 @@ def prep_parler_flat(mega, qtype: int, ctx: int,
     return ParlerFlatMega(c0, s0, c1, s1, meta, nm,
                           mega.cross_k.astype(jnp.float32),
                           mega.cross_v.astype(jnp.float32),
-                          ffn=ffn, psz=psz, use_cross=use_cross)
+                          ffn=ffn, psz=psz, use_cross=use_cross, kk=kk,
+                          split=split)
 
 
 def _pflat_kernel(meta_ref, pos_ref, x_ref, c0_ref, s0_ref, c1_ref, s1_ref,
                   nm_ref, ck_ref, cv_ref, kc_ref, vc_ref, x_out, ko_ref,
                   vo_ref, x_scr, h_scr, qkv_scr, attn_scr, q_scr, m_scr,
                   l_scr, acc_scr, up_scr, *, n_layers, n_heads, hidden,
-                  head_d, bias, kk, tn, ffn, psz, use_cross):
+                  head_d, bias, kk, tn, ffn, psz, use_cross, split):
     t = pl.program_id(0)
     role = meta_ref[M_ROLE, t]
     kidx = meta_ref[M_K0, t]
@@ -171,6 +182,9 @@ def _pflat_kernel(meta_ref, pos_ref, x_ref, c0_ref, s0_ref, c1_ref, s1_ref,
         x_scr[:] = x_ref[:]
 
     def tile_dot(src_ref, src_off):
+        if not split:
+            return _dqdot(src_ref[:, pl.ds(src_off, kk)], c0_ref[0],
+                          s0_ref[0], bias)
         return (_dqdot(src_ref[:, pl.ds(src_off, h2)], c0_ref[0], s0_ref[0],
                        bias) +
                 _dqdot(src_ref[:, pl.ds(src_off + h2, h2)], c1_ref[0],
@@ -361,7 +375,7 @@ def parler_flat_megastep(flat: ParlerFlatMega, x, kv_k, kv_v, pos, *,
     hidden = flat.norms.shape[2]
     T = flat.meta.shape[1]
     tn = flat.codes0.shape[2]
-    kkq = flat.scales0.shape[1] * 2 * QK
+    kkq = flat.kk
     head_d = hidden // n_heads
     ctx = kv_k.shape[2]
     tc = flat.cross_k.shape[2]
@@ -389,8 +403,10 @@ def parler_flat_megastep(flat: ParlerFlatMega, x, kv_k, kv_v, pos, *,
             pl.BlockSpec((8, hidden), lambda t, m, p: (0, 0)),
             pl.BlockSpec((1, flat.codes0.shape[1], tn), cmap),
             pl.BlockSpec((1, flat.scales0.shape[1], tn), cmap),
-            pl.BlockSpec((1, flat.codes1.shape[1], tn), cmap),
-            pl.BlockSpec((1, flat.scales1.shape[1], tn), cmap),
+            pl.BlockSpec((1, flat.codes1.shape[1], tn),
+                         cmap if flat.split else (lambda t, m, p: (0, 0, 0))),
+            pl.BlockSpec((1, flat.scales1.shape[1], tn),
+                         cmap if flat.split else (lambda t, m, p: (0, 0, 0))),
             pl.BlockSpec((1, 6, hidden), nmmap),
             pl.BlockSpec((1, n_heads, tc, head_d), xmap),
             pl.BlockSpec((1, n_heads, tc, head_d), xmap),
@@ -418,7 +434,7 @@ def parler_flat_megastep(flat: ParlerFlatMega, x, kv_k, kv_v, pos, *,
         functools.partial(_pflat_kernel, n_layers=L, n_heads=n_heads,
                           hidden=hidden, head_d=head_d, bias=_BIAS[qtype],
                           kk=kkq, tn=tn, ffn=ffn, psz=psz,
-                          use_cross=flat.use_cross),
+                          use_cross=flat.use_cross, split=flat.split),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, hidden), jnp.float32),

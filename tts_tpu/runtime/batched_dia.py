@@ -369,6 +369,17 @@ class BatchedDiaEngine:
                 float(config.repetition_penalty))
             self.slot_req[slot] = rid
 
+
+    def peek(self, rid):
+        """(progress, out_tokens) for an in-flight request, else None —
+        used by the server's batched streaming drain (one small D2H per
+        chunk; worker-thread only)."""
+        for slot, r in enumerate(self.slot_req):
+            if r == rid:
+                return (int(np.asarray(self.state.pos[slot])),
+                        np.asarray(self.state.out_tokens[slot]))
+        return None
+
     def step(self) -> List[int]:
         self.state = batched_dia_decode_chunk(
             self.cfg, self.weights, self.state, n_steps=self.chunk,

@@ -311,6 +311,17 @@ class BatchedLlamaEngine:
                 float(config.repetition_penalty))
             self.slot_req[slot] = rid
 
+
+    def peek(self, rid):
+        """(progress, out_tokens) for an in-flight request, else None —
+        used by the server's batched streaming drain (one small D2H per
+        chunk; worker-thread only)."""
+        for slot, r in enumerate(self.slot_req):
+            if r == rid:
+                return (int(np.asarray(self.state.n_out[slot])),
+                        np.asarray(self.state.out_tokens[slot]))
+        return None
+
     def step(self) -> List[int]:
         """Run one decode chunk; returns newly finished request ids."""
         self.state = batched_llama_decode_chunk(

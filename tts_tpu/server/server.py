@@ -105,7 +105,8 @@ def format_error(message: str, code: int) -> dict:
 
 
 class ServerTask:
-    def __init__(self, prompt: str, config: GenerationConfig, model: str):
+    def __init__(self, prompt: str, config: GenerationConfig, model: str,
+                 stream_q: "queue.Queue | None" = None):
         self.id = uuid.uuid4().hex
         self.prompt = prompt
         self.config = config
@@ -115,6 +116,9 @@ class ServerTask:
         self.message = ""
         self.audio: Optional[np.ndarray] = None
         self.sample_rate = 0
+        # streaming requests get audio chunks pushed here (None = end);
+        # non-stream requests leave it None
+        self.stream_q = stream_q
 
 
 BATCHABLE_ARCHS = ("parler-tts", "orpheus", "dia")
@@ -149,6 +153,9 @@ class BatchedModelWorker:
                 n_slots=n_slots, chunk=chunk)
         self.q: "queue.Queue[ServerTask]" = queue.Queue()
         self.tasks: Dict[int, ServerTask] = {}
+        # per-streaming-request incremental vocode state (worker thread
+        # only): rid -> {"emitted": frames, "noise": ..., "dead": bool}
+        self.streams: Dict[int, dict] = {}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="tts-batched-worker")
         self._thread.start()
@@ -187,9 +194,14 @@ class BatchedModelWorker:
                 try:
                     rid = self.engine.submit(task.prompt, task.config)
                     self.tasks[rid] = task
+                    if task.stream_q is not None:
+                        self.streams[rid] = {"emitted": 0, "noise": None,
+                                             "dead": False}
                 except Exception as e:  # noqa: BLE001
                     task.message = str(e)
                     task.success = False
+                    if task.stream_q is not None:
+                        task.stream_q.put(None)
                     task.event.set()
                 try:
                     task = self.q.get(block=False)
@@ -204,21 +216,137 @@ class BatchedModelWorker:
                 for t in self.tasks.values():
                     t.message = str(e)
                     t.success = False
+                    if t.stream_q is not None:
+                        t.stream_q.put(None)
                     t.event.set()
                 self.tasks.clear()
+                self.streams.clear()
                 continue
+            # incremental streaming: drain freshly decoded tokens of
+            # in-flight streaming slots into their PCM queues
+            for rid, ss in list(self.streams.items()):
+                if rid in finished or ss["dead"]:
+                    continue
+                t = self.tasks.get(rid)
+                got = self.engine.peek(rid)
+                if t is None or got is None:
+                    continue
+                try:
+                    self._stream_segment(t, ss, got[0], got[1], done=False)
+                except Exception:  # noqa: BLE001 — fall back to final-only
+                    ss["dead"] = True
             for rid in finished:
                 t = self.tasks.pop(rid, None)
                 codes = self.engine.results.pop(rid, None)
+                ss = self.streams.pop(rid, None)
                 if t is None:
                     continue
                 try:
-                    t.audio, t.sample_rate = self._vocode(t, codes)
-                    t.success = True
+                    if ss is not None:
+                        self._stream_final(t, ss, codes)
+                        t.success = True
+                    else:
+                        t.audio, t.sample_rate = self._vocode(t, codes)
+                        t.success = True
                 except Exception as e:  # noqa: BLE001
                     t.message = str(e)
                     t.success = False
+                if t.stream_q is not None:
+                    t.stream_q.put(None)
                 t.event.set()
+
+    STREAM_MARGIN = 16  # vocoder receptive-field context frames
+
+    def _stream_segment(self, task, ss, n, out, done):
+        """Incrementally vocode the freshly decoded span of a streaming
+        slot (worker thread). `out` is the raw out_tokens row; per-arch
+        delay-undo happens here each chunk (cheap, host-side)."""
+        if self.arch == "orpheus":
+            from ..models.orpheus.model import prepare_output_tokens
+            self._stream_push_snac(
+                task, ss, prepare_output_tokens(np.asarray(out), int(n)),
+                done)
+        else:
+            if self.arch == "dia":
+                from ..models.dia.model import adjust_output_tokens as adj
+            else:
+                from ..models.parler.model import adjust_output_tokens as adj
+            self._stream_push_dac(
+                task, ss, adj(np.asarray(out), int(n), self.runner.cfg),
+                done)
+
+    def _stream_final(self, task, ss, codes):
+        if codes is None:
+            return
+        if self.arch == "orpheus":
+            self._stream_push_snac(task, ss, codes, True)
+        else:
+            self._stream_push_dac(task, ss, codes, True)
+
+    def _stream_push_dac(self, task, ss, codes, done):
+        from ..common import SAMPLE_RATE_DAC
+        dac = self.runner.dac
+        task.sample_rate = SAMPLE_RATE_DAC
+        if dac is None or codes is None or codes.shape[0] == 0:
+            return
+        m = self.STREAM_MARGIN
+        total = codes.shape[0]
+        ready = total if done else max(0, total - m)
+        if ready <= ss["emitted"]:
+            return
+        lo = max(0, ss["emitted"] - m)
+        hi = total if done else min(total, ready + m)
+        up = dac.cfg.up_sampling_factor
+        seg = np.asarray(dac.decode(codes[lo:hi]), np.float32)
+        self._stream_push(task, ss,
+                          seg[(ss["emitted"] - lo) * up:(ready - lo) * up])
+        ss["emitted"] = ready
+
+    def _stream_push_snac(self, task, ss, heads, done):
+        from ..common import SAMPLE_RATE_SNAC
+        from ..models.codec.snac import make_noise_layers
+        snac = self.runner.snac
+        task.sample_rate = SAMPLE_RATE_SNAC
+        if snac is None or heads is None or not heads[2]:
+            return
+        cfg = self.runner.cfg
+        if ss["noise"] is None:
+            seed = task.config.seed if task.config.seed is not None else \
+                np.random.randint(2 ** 31)
+            ss["noise"] = make_noise_layers(
+                snac.cfg, seed, 4 * (cfg.max_generation_size // 7 + 1))
+        cb = snac.weights.quantizers[0].codebook.shape[0]
+        m = self.STREAM_MARGIN
+        t = len(heads[2])
+        ready = t if done else max(0, t - m)
+        ready -= ready % 4
+        if ready <= ss["emitted"]:
+            return
+        lo = max(0, ss["emitted"] - m)
+        lo -= lo % 4
+        hi = t if done else min(t, ready + m)
+        hi -= hi % 4
+        seg_heads = [
+            np.clip(np.asarray(heads[0][lo // 4:hi // 4], np.int64),
+                    0, cb - 1).tolist(),
+            np.clip(np.asarray(heads[1][lo // 2:hi // 2], np.int64),
+                    0, cb - 1).tolist(),
+            np.clip(np.asarray(heads[2][lo:hi], np.int64),
+                    0, cb - 1).tolist()]
+        up = snac.cfg.up_sampling_factor
+        seg = np.asarray(snac.decode(seg_heads, noise_layers=ss["noise"],
+                                     frame_offset=lo), np.float32)
+        self._stream_push(task, ss,
+                          seg[(ss["emitted"] - lo) * up:(ready - lo) * up])
+        ss["emitted"] = ready
+
+    def _stream_push(self, task, ss, chunk):
+        if chunk.size == 0 or ss["dead"]:
+            return
+        try:
+            task.stream_q.put_nowait(chunk)
+        except queue.Full:  # client stopped draining; don't block decode
+            ss["dead"] = True
 
     def _vocode(self, task: "ServerTask", codes):
         from ..common import SAMPLE_RATE_DAC, SAMPLE_RATE_SNAC
@@ -499,10 +627,22 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _handle_tts_stream(self, prompt: str, conf, model: str) -> None:
         """Chunked-transfer streaming of raw 16-bit PCM (time-to-first-audio
-        path). Runners without generate_stream fall back to one chunk.
-        Admission-controlled: at most n_parallel concurrent streams (503
-        otherwise) and counted in /metrics like queued requests."""
+        path). Models with a continuous-batching worker stream THROUGH the
+        batched engine (tokens drain incrementally per decode chunk and
+        vocode in segments, so streams and non-stream requests share one
+        on-device program); otherwise the single-stream generator runs
+        under admission control (at most n_parallel concurrent streams,
+        503 otherwise). Both paths count in /metrics."""
         srv = self.server_obj
+        bw = srv.batched_workers.get(model)
+        if bw is not None:
+            try:
+                bw.engine.validate_prompt(prompt, conf)
+            except ValueError:
+                bw = None  # oversized for the engine: single-stream path
+        if bw is not None:
+            self._handle_tts_stream_batched(bw, prompt, conf, model)
+            return
         runner = srv.runners[model]
         if not srv.stream_slots.acquire(timeout=min(srv.timeout, 30.0)):
             with srv._lock:
@@ -544,6 +684,58 @@ class _Handler(BaseHTTPRequestHandler):
                 pass
         finally:
             srv.stream_slots.release()
+            with srv._lock:
+                srv.metrics["streams_total"] += 1
+                srv.metrics["requests_total"] += 1
+                if not ok:
+                    srv.metrics["requests_failed"] += 1
+                srv.metrics["audio_seconds_total"] += samples / rate
+                srv.metrics["wall_seconds_total"] += time.perf_counter() - t0
+
+    def _handle_tts_stream_batched(self, bw, prompt: str, conf,
+                                   model: str) -> None:
+        """Stream PCM out of the continuous-batching engine: the request
+        occupies a batch slot like any other; the worker thread drains its
+        freshly decoded tokens each chunk and pushes vocoded segments into
+        task.stream_q. No single-stream generate runs on the HTTP thread."""
+        import queue as _queue
+        srv = self.server_obj
+        t0 = time.perf_counter()
+        samples = 0
+        ok = False
+        task = ServerTask(prompt, conf, model,
+                          stream_q=_queue.Queue(maxsize=256))
+        rate = int(getattr(srv.runners[model], "sample_rate", 44_100))
+        try:
+            bw.submit(task)
+            self.send_response(200)
+            self.send_header(
+                "Content-Type",
+                f"audio/pcm;rate={rate};encoding=signed-integer;bits=16")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            while True:
+                chunk = task.stream_q.get(timeout=srv.timeout)
+                if chunk is None:
+                    break
+                rate = task.sample_rate or rate
+                pcm = (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
+                if not pcm:
+                    continue
+                samples += len(pcm) // 2
+                self.wfile.write(f"{len(pcm):X}\r\n".encode())
+                self.wfile.write(pcm)
+                self.wfile.write(b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+            ok = task.success or samples > 0
+        except BrokenPipeError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            try:
+                self._error(str(e), 500)
+            except Exception:
+                pass
+        finally:
             with srv._lock:
                 srv.metrics["streams_total"] += 1
                 srv.metrics["requests_total"] += 1
