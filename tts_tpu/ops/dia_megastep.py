@@ -685,27 +685,28 @@ def _dia_megastep_batched_tpu(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck,
     cvr = cv.reshape(L, rows8 * n_heads, sb, d)
     vtr = vtail.reshape(L, rows8 * n_heads, d)
 
-    def at_l(i, p, s, q):
+    def at_l(i, p, s):
         return (i, 0, 0)
 
-    def at_l4(i, p, s, q):
+    def at_l4(i, p, s):
         return (i, 0, 0, 0)
 
-    def ffn_hk(i, p, s, q):
+    def ffn_hk(i, p, s):
         return (i, 0, jnp.maximum(p - n_pages - 1, 0))
 
-    def ffn_kh(i, p, s, q):
+    def ffn_kh(i, p, s):
         return (i, jnp.maximum(p - n_pages - 1, 0), 0)
 
-    def kv_map(i, p, s, q):
+    def kv_map(i, p, s):
         return (i, 0, jnp.minimum(p, s[0]), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(L, n_pages + 1 + n_ffn),
         in_specs=[
-            pl.BlockSpec((rows8, hidden), lambda i, p, s, q: (0, 0)),
-            pl.BlockSpec((1, head_d // 2), lambda i, p, s, q: (0, 0)),
+            pl.BlockSpec((n_kv * rows8, 1), lambda i, p, s: (0, 0)),
+            pl.BlockSpec((rows8, hidden), lambda i, p, s: (0, 0)),
+            pl.BlockSpec((1, head_d // 2), lambda i, p, s: (0, 0)),
             pl.BlockSpec((1, hidden // pk, kv_n), at_l),
             pl.BlockSpec((1, hidden // 32, kv_n), at_l),
             pl.BlockSpec((1, hidden // pk, 3 * n_heads * head_d), at_l),
@@ -724,7 +725,7 @@ def _dia_megastep_batched_tpu(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck,
             pl.BlockSpec((1, rows8 * kvh, page, d), kv_map),
         ],
         out_specs=[
-            pl.BlockSpec((rows8, hidden), lambda i, p, s, q: (0, 0)),
+            pl.BlockSpec((rows8, hidden), lambda i, p, s: (0, 0)),
             pl.BlockSpec((1, rows8, kvh * d), at_l),
             pl.BlockSpec((1, rows8, kvh * d), at_l),
         ],
@@ -755,7 +756,8 @@ def _dia_megastep_batched_tpu(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(mp_arr, pos_rows, x.astype(jnp.float32), inv, mega.qkv_codes,
+    )(mp_arr, pos_rows.astype(jnp.int32), x.astype(jnp.float32), inv,
+      mega.qkv_codes,
       mega.qkv_scales, mega.occ_codes, mega.occ_scales, mega.gate_codes,
       mega.gate_scales, mega.up_codes, mega.up_scales, mega.down_codes,
       mega.down_scales, mega.norms, ckr, cvr, vtr, kvr, vvr)

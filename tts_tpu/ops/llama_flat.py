@@ -73,7 +73,8 @@ class LlamaFlatMega:
     """
 
     def __init__(self, codes0, scales0, codes1, scales1, meta, norms,
-                 out_norm, *, vocab_pad: int, ffn: int, psz: int):
+                 out_norm, *, vocab_pad: int, ffn: int, psz: int, kk: int,
+                 split: bool = True):
         self.codes0 = codes0
         self.scales0 = scales0
         self.codes1 = codes1
@@ -84,15 +85,18 @@ class LlamaFlatMega:
         self.vocab_pad = vocab_pad
         self.ffn = ffn
         self.psz = psz
+        self.kk = kk
+        self.split = split
 
     def tree_flatten(self):
         return ((self.codes0, self.scales0, self.codes1, self.scales1,
                  self.meta, self.norms, self.out_norm),
-                (self.vocab_pad, self.ffn, self.psz))
+                (self.vocab_pad, self.ffn, self.psz, self.kk, self.split))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, vocab_pad=aux[0], ffn=aux[1], psz=aux[2])
+        return cls(*children, vocab_pad=aux[0], ffn=aux[1], psz=aux[2],
+                   kk=aux[3], split=aux[4])
 
 
 jax.tree_util.register_pytree_node(
@@ -204,7 +208,8 @@ def _layer_tiles_whole(codes_t, scales_t, kk: int, tn: int, pack: bool):
 
 
 def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
-                    n_heads: int, n_kv: int, ctx: int) -> LlamaFlatMega:
+                    n_heads: int, n_kv: int, ctx: int,
+                    split: bool = False) -> LlamaFlatMega:
     """Build the flat stream from LlamaMegaLayers + the LM head QuantTensor.
 
     `ctx` is the KV-cache context length the decode will run with (pages
@@ -229,23 +234,27 @@ def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
 
     @jax.jit
     def build(mega, head_c, head_s):
-        parts = [[], [], [], []]
+        tiler = _layer_tiles if split else _layer_tiles_whole
+        nparts = 4 if split else 2
+        parts = [[] for _ in range(nparts)]
         for c, s in ((mega.qkv_codes, mega.qkv_scales),
                      (mega.o_codes, mega.o_scales),
                      (mega.gate_codes, mega.gate_scales),
                      (mega.up_codes, mega.up_scales),
                      (mega.down_codes, mega.down_scales)):
-            for i, t in enumerate(_layer_tiles(c, s.astype(jnp.float32),
-                                               kk, tn, pack)):
+            for i, t in enumerate(tiler(c, s.astype(jnp.float32),
+                                        kk, tn, pack)):
                 parts[i].append(t)
         lt = [jnp.concatenate(p, axis=1) for p in parts]
         lt = [a.reshape(-1, a.shape[-2], tn) for a in lt]
         npad = vocab_pad - head_c.shape[-1]
         hc = jnp.pad(head_c, ((0, 0), (0, npad)))
         hs = jnp.pad(head_s, ((0, 0), (0, npad)))
-        ht = _layer_tiles(hc[None], hs[None].astype(jnp.float32),
-                          kk, tn, pack)
+        ht = tiler(hc[None], hs[None].astype(jnp.float32), kk, tn, pack)
         outs = [jnp.concatenate([a, b[0]], axis=0) for a, b in zip(lt, ht)]
+        if not split:
+            outs = list(outs) + [jnp.zeros((1, 1, tn), jnp.int8),
+                                 jnp.zeros((1, 1, tn), jnp.bfloat16)]
         return (*outs, mega.norms.astype(jnp.float32))
 
     c0, s0, c1, s1, nm = build(mega, head.codes_t, head.scales_t)
@@ -255,14 +264,15 @@ def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
     assert n_weight == c0.shape[0], (n_weight, c0.shape)
     onm = jnp.asarray(out_norm, jnp.float32).reshape(1, hidden)
     return LlamaFlatMega(c0, s0, c1, s1, meta, nm, onm,
-                         vocab_pad=vocab_pad, ffn=ffn, psz=psz)
+                         vocab_pad=vocab_pad, ffn=ffn, psz=psz, kk=kk,
+                         split=split)
 
 
 def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
                  s1_ref, nm_ref, onm_ref, kc_ref, vc_ref, lg_ref, ko_ref,
                  vo_ref, x_scr, h_scr, qkv_scr, attn_scr, q_scr, m_scr,
                  l_scr, acc_scr, up_scr, gate_scr, *, n_heads, n_kv, hidden,
-                 head_d, bias, kk, tn, ffn, psz):
+                 head_d, bias, kk, tn, ffn, psz, split):
     t = pl.program_id(0)
     role = meta_ref[M_ROLE, t]
     kidx = meta_ref[M_K0, t]
@@ -279,6 +289,9 @@ def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
         x_scr[:] = x_ref[:]
 
     def tile_dot(src_ref, src_off):
+        if not split:
+            return _dqdot(src_ref[:, pl.ds(src_off, kk)], c0_ref[0],
+                          s0_ref[0], bias)
         return (_dqdot(src_ref[:, pl.ds(src_off, h2)], c0_ref[0], s0_ref[0],
                        bias) +
                 _dqdot(src_ref[:, pl.ds(src_off + h2, h2)], c1_ref[0],
@@ -453,7 +466,7 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
     hidden = flat.norms.shape[2]
     T = flat.meta.shape[1]
     tn = flat.codes0.shape[2]
-    kkq = flat.scales0.shape[1] * 2 * QK
+    kkq = flat.kk
     head_d = hidden // n_heads
     kvh = n_kv * head_d
     kvn_dim = hidden + 2 * kvh
@@ -484,8 +497,12 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
             pl.BlockSpec((1, head_d // 2), lambda t, m, p: (0, 0)),
             pl.BlockSpec((1, flat.codes0.shape[1], tn), cmap),
             pl.BlockSpec((1, flat.scales0.shape[1], tn), cmap),
-            pl.BlockSpec((1, flat.codes1.shape[1], tn), cmap),
-            pl.BlockSpec((1, flat.scales1.shape[1], tn), cmap),
+            pl.BlockSpec((1, flat.codes1.shape[1], tn),
+                         cmap if flat.split else
+                         (lambda t, m, p: (0, 0, 0))),
+            pl.BlockSpec((1, flat.scales1.shape[1], tn),
+                         cmap if flat.split else
+                         (lambda t, m, p: (0, 0, 0))),
             pl.BlockSpec((1, 2, hidden), nmmap),
             pl.BlockSpec((1, hidden), lambda t, m, p: (0, 0)),
             pl.BlockSpec((1, n_kv, psz, head_d), kvmap),
@@ -512,7 +529,8 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
     logits, k_new, v_new = pl.pallas_call(
         functools.partial(_flat_kernel, n_heads=n_heads, n_kv=n_kv,
                           hidden=hidden, head_d=head_d, bias=_BIAS[qtype],
-                          kk=kkq, tn=tn, ffn=ffn, psz=psz),
+                          kk=kkq, tn=tn, ffn=ffn, psz=psz,
+                          split=flat.split),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, vocab_pad), jnp.float32),
