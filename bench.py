@@ -451,9 +451,49 @@ def bench_orpheus() -> dict:
         t0 = time.perf_counter()      # states keep inputs distinct
         st = run(st)
         per = min(per, (time.perf_counter() - t0 - 0.033) / steps)
-    return {"orpheus_3b_q4_decode_rtf": round(ORPHEUS_AUDIO_PER_TOKEN / per, 3),
-            "orpheus_ms_per_step": round(per * 1e3, 3),
-            "orpheus_megakernel": mega is not None}
+    out = {"orpheus_3b_q4_decode_rtf": round(ORPHEUS_AUDIO_PER_TOKEN / per, 3),
+           "orpheus_ms_per_step": round(per * 1e3, 3),
+           "orpheus_megakernel": mega is not None}
+
+    # batched engine: B=8 slots through the batched megakernel — one
+    # weight read serves every slot (reference replica scaling:
+    # server.cpp:885-897 can't batch Orpheus at all)
+    try:
+        from tts_tpu.models.orpheus.model import maybe_prep_llama_mega
+        from tts_tpu.runtime.batched_llama import (
+            batched_llama_decode_chunk, init_batched_llama_state,
+            insert_llama_request)
+        bmega, bqtype = maybe_prep_llama_mega(cfg, w)
+        B = 8
+        bst = init_batched_llama_state(cfg, B, jax.random.PRNGKey(0))
+        bctx = bst.kv_k.shape[3]
+        bshape = (cfg.n_layers, cfg.n_kv_heads, bctx, cfg.head_size)
+        lg0, bk, bv = orpheus_prefill(cfg, w, tokens, jnp.int32(64),
+                                      jnp.zeros(bshape, dt),
+                                      jnp.zeros(bshape, dt))
+        bfirst = jnp.argmax(lg0).astype(jnp.int32)
+        for s in range(B):
+            bst = insert_llama_request(cfg, bst, s, bk, bv, 64, bfirst,
+                                       True, 1.0, 50, 1.0, 1.0)
+
+        def brun(bst):
+            bst = batched_llama_decode_chunk(cfg, w, bst, n_steps=32,
+                                             mega=bmega, mega_qtype=bqtype)
+            int(np.asarray(bst.out_tokens).sum())
+            return bst
+
+        bst = brun(bst)
+        bper = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            bst = brun(bst)
+            bper = min(bper, (time.perf_counter() - t0 - 0.033) / 32)
+        out["orpheus_batched_rtf_8"] = round(
+            B * ORPHEUS_AUDIO_PER_TOKEN / bper, 3)
+        out["orpheus_batched_ms_per_step"] = round(bper * 1e3, 3)
+    except Exception as e:  # noqa: BLE001
+        out["orpheus_batched_error"] = str(e)[:200]
+    return out
 
 
 def bench_dia() -> dict:
@@ -494,9 +534,52 @@ def bench_dia() -> dict:
         t0 = time.perf_counter()
         st = run(st)
         per = min(per, (time.perf_counter() - t0 - 0.033) / steps)
-    return {"dia_1p6b_q4_decode_rtf": round(SAMPLES_PER_STEP / SAMPLE_RATE / per, 3),
-            "dia_ms_per_step": round(per * 1e3, 3),
-            "dia_megakernel": mega is not None}
+    out = {"dia_1p6b_q4_decode_rtf": round(SAMPLES_PER_STEP / SAMPLE_RATE / per, 3),
+           "dia_ms_per_step": round(per * 1e3, 3),
+           "dia_megakernel": mega is not None}
+
+    # batched engine: 4 CFG-pair slots (8 activation rows) through the
+    # batched megakernel
+    try:
+        from tts_tpu.ops.dia_megastep import prep_dia_cross as _pdc
+        from tts_tpu.runtime.batched_dia import (batched_dia_decode_chunk,
+                                                 init_batched_dia_state,
+                                                 insert_dia_request)
+        sb = 256
+        ckb, cvb, vtailb, ntl = _pdc(
+            *dia_encode(cfg, w, jnp.asarray(toks), jnp.int32(100))[1:],
+            100, buckets=(sb,))
+        L, h, d = (cfg.n_decoder_layers, cfg.decoder_attn_heads,
+                   cfg.head_size)
+        B = 4
+        bst = init_batched_dia_state(cfg, B, jax.random.PRNGKey(1),
+                                     cross_bucket=sb)
+        for s in range(B):
+            bst = insert_dia_request(cfg, bst, s,
+                                     ckb.reshape(L, 2, h, sb, d),
+                                     cvb.reshape(L, 2, h, sb, d),
+                                     vtailb.reshape(L, 2, h, d),
+                                     True, 1.0, 50, 1.0, 1.0)
+
+        def brun(bst):
+            bst = batched_dia_decode_chunk(cfg, w, bst, n_steps=32,
+                                           n_tail=ntl, mega=mega,
+                                           mega_qtype=mega_qtype)
+            int(np.asarray(bst.out_tokens).sum())
+            return bst
+
+        bst = brun(bst)
+        bper = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            bst = brun(bst)
+            bper = min(bper, (time.perf_counter() - t0 - 0.033) / 32)
+        out["dia_batched_rtf_4"] = round(
+            B * SAMPLES_PER_STEP / SAMPLE_RATE / bper, 3)
+        out["dia_batched_ms_per_step"] = round(bper * 1e3, 3)
+    except Exception as e:  # noqa: BLE001
+        out["dia_batched_error"] = str(e)[:200]
+    return out
 
 
 class _BenchTok:
@@ -565,8 +648,11 @@ def main() -> None:
 
     def run(k):
         kv_k, kv_v = parler_prefill(cfg, weights, tokens, kv_k0, kv_v0)
+        # one 448-step chunk: same computation as the production schedule
+        # (64+128+256) minus two host-sync boundaries (~33 ms relay round
+        # trips each) that are pure measurement overhead at a fixed length
         out, steps = parler_generate_tokens_chunked(
-            cfg, weights, prompt_len, kv_k, kv_v, k,
+            cfg, weights, prompt_len, kv_k, kv_v, k, chunk=n_steps,
             do_sample=True, temperature=1.0, top_k=50,
             mega=mega, mega_qtype=mega_qtype)
         # force full materialization: block_until_ready is unreliable on the

@@ -72,5 +72,56 @@ def main():
         print("  stores semantics:", np.allclose(r, want), flush=True)
 
 
+def main2():
+    # 128-lane-output variants: (8, 512) <-> (32, 128)
+    x = jnp.asarray(np.arange(8 * 512, dtype=np.float32).reshape(8, 512))
+
+    def k_split128(x_ref, o_ref):
+        o_ref[:] = x_ref[:].reshape(32, 128) * 1.0
+
+    r = try_case("split128", k_split128,
+                 jax.ShapeDtypeStruct((32, 128), jnp.float32), x)
+    if r is not None:
+        print("  row-major:", np.allclose(r, np.asarray(x).reshape(32, 128)),
+              flush=True)
+
+    y = jnp.asarray(np.arange(32 * 128, dtype=np.float32).reshape(32, 128))
+
+    def k_merge128(y_ref, o_ref):
+        o_ref[:] = y_ref[:].reshape(8, 512) * 1.0
+
+    r = try_case("merge128", k_merge128,
+                 jax.ShapeDtypeStruct((8, 512), jnp.float32), y)
+    if r is not None:
+        print("  row-major:", np.allclose(r, np.asarray(y).reshape(8, 512)),
+              flush=True)
+
+    # 4D leading-dim transpose cost probe: time (8,16,256,128) bf16
+    # transpose(1,0,2,3) inside a kernel 20x
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (8, 16, 256, 128)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def k_tr(z_ref, o_ref):
+        acc = jnp.zeros((128, 128), jnp.float32)
+        for i in range(8):
+            t = z_ref[:].transpose(1, 0, 2, 3).reshape(16 * 8 * 256, 128)
+            acc += t[: 128].astype(jnp.float32) * (1.0 + i)
+        o_ref[:] = acc
+
+    import time as _t
+    try:
+        f = pl.pallas_call(k_tr, out_shape=jax.ShapeDtypeStruct(
+            (128, 128), jnp.float32))
+        jf = jax.jit(lambda z: f(z))
+        np.asarray(jf(z)).sum()
+        t0 = _t.perf_counter()
+        np.asarray(jf(z + 0.001)).sum()
+        print(f"transpose8x: {(_t.perf_counter()-t0-0.033)*1e3:.2f} ms "
+              f"(8x 8.4MB 4D-transposes)", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print("transpose probe FAILED", str(e).split("\n")[0][:160],
+              flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    main2()

@@ -479,8 +479,7 @@ def _dia_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
                         occ_c, occ_s, g_c, g_s, u_c, u_s, d_c, d_s, norms,
                         ck_ref, cv_ref, vtail_ref, kc_ref, vc_ref,
                         x_out, k_out, v_out,
-                        x_scr, h_scr, att_scr, q_scr, k_scr, v_scr,
-                        acc_scr, m_scr, l_scr,
+                        x_scr, h_scr, q_scr, acc_scr, m_scr, l_scr,
                         *, n_layers, n_pages, n_ffn, n_heads, n_kv, hidden,
                         head_d, rows8, page, n_tail, bias):
     l = pl.program_id(0)
@@ -488,7 +487,7 @@ def _dia_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
     qh_dim = n_heads * head_d
     kv_dim = n_kv * head_d
     g = n_heads // n_kv
-    rows = n_kv * rows8
+    rows = rows8 * n_heads
     h2d = head_d // 2
 
     def rope_full(y, nh):
@@ -514,62 +513,61 @@ def _dia_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
         x = x_scr[:]                                       # (2B, H)
         h1 = _rms(x, nm[0:1])
         qkv = _dqdot(h1, qkv_c[0], qkv_s[0], bias)         # (2B, QH+2KV)
-        q = rope_full(qkv[:, :qh_dim], n_heads)
-        k = rope_full(qkv[:, qh_dim:qh_dim + kv_dim], n_kv)
-        v = qkv[:, qh_dim + kv_dim:]
-        k_out[0] = k
-        v_out[0] = v
-        k_scr[:] = jnp.concatenate(
-            [k[:, j * head_d:(j + 1) * head_d] for j in range(n_kv)],
-            axis=0)                                        # j-major rows
-        v_scr[:] = jnp.concatenate(
-            [v[:, j * head_d:(j + 1) * head_d] for j in range(n_kv)],
-            axis=0)
-        for gi in range(g):
-            q_scr[gi] = jnp.concatenate(
-                [q[:, (j * g + gi) * head_d:(j * g + gi + 1) * head_d]
-                 for j in range(n_kv)], axis=0)            # scale 1.0
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-        m_scr[:] = jnp.full_like(m_scr, -1e30)  # finite sentinel (parler)
-        l_scr[:] = jnp.zeros_like(l_scr)
+        q = rope_full(qkv[:, :qh_dim], n_heads)            # scale 1.0
+        k_row = rope_full(qkv[:, qh_dim:qh_dim + kv_dim], n_kv)
+        v_row = qkv[:, qh_dim + kv_dim:]
+        k_out[0] = k_row
+        v_out[0] = v_row
+        # reshape-128 layout (see llama_megastep batched header): r-major
+        # (row, query head) rows via one free reshape; flash state
+        # initializes from the current token
+        q4 = q.reshape(rows, head_d)
+        krep = jnp.concatenate(
+            [k_row[:, j * head_d:(j + 1) * head_d]
+             for j in range(n_kv) for _ in range(g)], axis=1)
+        vrep = jnp.concatenate(
+            [v_row[:, j * head_d:(j + 1) * head_d]
+             for j in range(n_kv) for _ in range(g)], axis=1)
+        k4 = krep.reshape(rows, head_d)
+        v4 = vrep.reshape(rows, head_d)
+        q_scr[:] = q4
+        s_cur = jnp.sum(q4 * k4, axis=1, keepdims=True)
+        m_scr[:] = s_cur
+        l_scr[:] = jnp.ones((rows, 1), jnp.float32)
+        acc_scr[:] = v4
 
     @pl.when((p < n_pages) & (p <= mp_ref[0]))
     def _():
-        k3 = kc_ref[:].reshape(rows8, n_kv, page, head_d) \
-            .transpose(1, 0, 2, 3).reshape(rows, page, head_d) \
-            .astype(jnp.float32)
-        v3 = vc_ref[:].reshape(rows8, n_kv, page, head_d) \
-            .transpose(1, 0, 2, 3).reshape(rows, page, head_d) \
-            .astype(jnp.float32)
-        j = p * page + jax.lax.broadcasted_iota(jnp.int32, (rows, page), 1)
-        live = j < pos_ref[:]
-        for gi in range(g):
-            s = jnp.sum(q_scr[gi][:, None, :] * k3, axis=2)  # (rows, page)
-            s = jnp.where(live, s, -1e30)
-            m_prev = m_scr[gi, :, 0]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-            alpha = jnp.exp(m_prev - m_new)
-            pexp = jnp.exp(s - m_new[:, None])
-            l_scr[gi, :, 0] = l_scr[gi, :, 0] * alpha + jnp.sum(pexp, axis=1)
-            acc_scr[gi] = acc_scr[gi] * alpha[:, None] + \
-                jnp.sum(pexp[:, :, None] * v3, axis=1)
-            m_scr[gi, :, 0] = m_new
+        cols = rows8 * n_kv * page
+        k2 = kc_ref[:].reshape(cols, head_d)               # r-major (r,j,t)
+        v2 = vc_ref[:].reshape(cols, head_d)
+        s = jax.lax.dot_general(
+            q_scr[:].astype(jnp.bfloat16), k2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (rows, cols)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        t_pos = p * page + (ci % page)
+        valid = ((ri // n_heads) == (ci // (n_kv * page))) & \
+            (((ri % n_heads) // g) == ((ci // page) % n_kv)) & \
+            (t_pos < pos_ref[:])
+        s = jnp.where(valid, s, -jnp.inf)
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        pe = jnp.exp(s - m_new)
+        av = jax.lax.dot_general(
+            pe.astype(jnp.bfloat16), v2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scr[:] = acc_scr[:] * alpha + av
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(pe, axis=1, keepdims=True)
+        m_scr[:] = m_new
 
     @pl.when(p == n_pages - 1)
     def _():
-        att_blocks = []
-        for gi in range(g):
-            s_cur = jnp.sum(q_scr[gi] * k_scr[:], axis=1, keepdims=True)
-            m_f = jnp.maximum(m_scr[gi], s_cur)
-            alpha = jnp.exp(m_scr[gi] - m_f)
-            pc = jnp.exp(s_cur - m_f)
-            denom = l_scr[gi] * alpha + pc
-            att_blocks.append(
-                (acc_scr[gi] * alpha + pc * v_scr[:]) / denom)
-        att_scr[:] = jnp.concatenate(
-            [att_blocks[gi][j * rows8:(j + 1) * rows8, :]
-             for j in range(n_kv) for gi in range(g)], axis=1)  # (2B, QH)
-        o = _dqdot(att_scr[:], occ_c[0][:, :qh_dim],
+        attn = (acc_scr[:] / l_scr[:]).reshape(rows8, qh_dim)
+        o = _dqdot(attn, occ_c[0][:, :qh_dim],
                    occ_s[0][:, :qh_dim], bias)
         x_scr[:] = x_scr[:] + o
 
@@ -581,35 +579,43 @@ def _dia_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
         cq = _dqdot(h2, occ_c[0][:, qh_dim:2 * qh_dim],
                     occ_s[0][:, qh_dim:2 * qh_dim], bias)  # (2B, QH)
         cq = rope_full(cq, n_heads)
-        xrows = n_heads * rows8
         sb = ck_ref.shape[2]
-        q3 = jnp.concatenate(
-            [cq[:, hh * head_d:(hh + 1) * head_d] for hh in range(n_heads)],
-            axis=0)                                        # (hh-major, d)
-        ck3 = ck_ref[:].reshape(rows8, n_heads, sb, head_d) \
-            .transpose(1, 0, 2, 3).reshape(xrows, sb, head_d) \
-            .astype(jnp.float32)
-        cv3 = cv_ref[:].reshape(rows8, n_heads, sb, head_d) \
-            .transpose(1, 0, 2, 3).reshape(xrows, sb, head_d) \
-            .astype(jnp.float32)
-        s = jnp.sum(q3[:, None, :] * ck3, axis=2)          # (xrows, Sb)
-        m = jnp.max(s, axis=1, keepdims=True)
-        if n_tail:
-            m = jnp.maximum(m, 0.0)
-        ph = jnp.exp(s - m)
-        den = jnp.sum(ph, axis=1, keepdims=True)
-        av = jnp.sum(ph[:, :, None] * cv3, axis=1)         # (xrows, d)
-        if n_tail:
-            vt3 = vtail_ref[:].reshape(rows8, n_heads, head_d) \
-                .transpose(1, 0, 2).reshape(xrows, head_d)
-            et = jnp.exp(-m)
-            den = den + n_tail * et
-            av = av + et * vt3
-        av = av / den
-        att_scr[:] = jnp.concatenate(
-            [av[hh * rows8:(hh + 1) * rows8, :] for hh in range(n_heads)],
-            axis=1)
-        co = _dqdot(att_scr[:], occ_c[0][:, 2 * qh_dim:],
+        q4 = cq.reshape(rows, head_d)                      # (r, hh) rows
+        # per-replica-row cross attention: each CFG row attends its own
+        # bucketed cross K/V with the analytic pad-tail fold
+        hiota = jax.lax.broadcasted_iota(jnp.int32,
+                                         (n_heads, n_heads * sb), 0)
+        ciota = jax.lax.broadcasted_iota(jnp.int32,
+                                         (n_heads, n_heads * sb), 1)
+        blockm = hiota == (ciota // sb)
+        parts = []
+        for r in range(rows8):
+            q_r = q4[r * n_heads:(r + 1) * n_heads, :]     # (nh, d)
+            ck_r = ck_ref[0, r * n_heads:(r + 1) * n_heads] \
+                .reshape(n_heads * sb, head_d)
+            cv_r = cv_ref[0, r * n_heads:(r + 1) * n_heads] \
+                .reshape(n_heads * sb, head_d)
+            s = jax.lax.dot_general(
+                q_r.astype(jnp.bfloat16), ck_r,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (nh, nh*sb)
+            s = jnp.where(blockm, s, -jnp.inf)
+            m = jnp.max(s, axis=1, keepdims=True)
+            if n_tail:
+                m = jnp.maximum(m, 0.0)
+            ph = jnp.exp(s - m)
+            den = jnp.sum(ph, axis=1, keepdims=True)
+            av = jax.lax.dot_general(
+                ph.astype(jnp.bfloat16), cv_r,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (nh, d)
+            if n_tail:
+                et = jnp.exp(-m)
+                den = den + n_tail * et
+                av = av + et * vtail_ref[0, r * n_heads:(r + 1) * n_heads]
+            parts.append(av / den)
+        ca = jnp.concatenate(parts, axis=0).reshape(rows8, qh_dim)
+        co = _dqdot(ca, occ_c[0][:, 2 * qh_dim:],
                     occ_s[0][:, 2 * qh_dim:], bias)
         x = x + co
         x_scr[:] = x
@@ -647,7 +653,8 @@ def dia_megastep_batched(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck, cv,
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    if not on_tpu or (2 * b) % 8 or ctx % page:
+    head_d_chk = x.shape[1] // n_heads
+    if not on_tpu or (2 * b) % 8 or ctx % page or head_d_chk % 128:
         return dia_megastep_batched_reference(
             mega, x, kv_k, kv_v, pos, ck, cv, vtail, n_tail, qtype=qtype,
             n_heads=n_heads, n_kv=n_kv)
@@ -678,7 +685,7 @@ def _dia_megastep_batched_tpu(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck,
     pos2 = jnp.repeat(pos, 2)                              # (2B,)
     mp = jnp.max(jnp.maximum(pos2 - 1, 0)) // page
     mp_arr = mp.reshape(1)
-    pos_rows = jnp.tile(pos2, (n_kv,))[:, None]            # (n_kv*2B, 1)
+    pos_rows = jnp.repeat(pos2, n_heads)[:, None]          # (2B*nh, 1)
     kvr = kv_k.reshape(L, rows8 * kvh, ctx, d)
     vvr = kv_v.reshape(L, rows8 * kvh, ctx, d)
     ckr = ck.reshape(L, rows8 * n_heads, sb, d)
@@ -704,7 +711,7 @@ def _dia_megastep_batched_tpu(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck,
         num_scalar_prefetch=1,
         grid=(L, n_pages + 1 + n_ffn),
         in_specs=[
-            pl.BlockSpec((n_kv * rows8, 1), lambda i, p, s: (0, 0)),
+            pl.BlockSpec((rows8 * n_heads, 1), lambda i, p, s: (0, 0)),
             pl.BlockSpec((rows8, hidden), lambda i, p, s: (0, 0)),
             pl.BlockSpec((1, head_d // 2), lambda i, p, s: (0, 0)),
             pl.BlockSpec((1, hidden // pk, kv_n), at_l),
@@ -730,17 +737,12 @@ def _dia_megastep_batched_tpu(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck,
             pl.BlockSpec((1, rows8, kvh * d), at_l),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows8, hidden), jnp.float32),
-            pltpu.VMEM((rows8, hidden), jnp.float32),
-            pltpu.VMEM((rows8, n_heads * head_d), jnp.float32),
-            pltpu.VMEM((n_heads // n_kv, n_kv * rows8, head_d),
-                       jnp.float32),                       # q rows
-            pltpu.VMEM((n_kv * rows8, head_d), jnp.float32),
-            pltpu.VMEM((n_kv * rows8, head_d), jnp.float32),
-            pltpu.VMEM((n_heads // n_kv, n_kv * rows8, head_d),
-                       jnp.float32),                       # flash acc
-            pltpu.VMEM((n_heads // n_kv, n_kv * rows8, 1), jnp.float32),
-            pltpu.VMEM((n_heads // n_kv, n_kv * rows8, 1), jnp.float32),
+            pltpu.VMEM((rows8, hidden), jnp.float32),          # x residual
+            pltpu.VMEM((rows8, hidden), jnp.float32),          # h3
+            pltpu.VMEM((rows8 * n_heads, head_d), jnp.float32),  # q rows
+            pltpu.VMEM((rows8 * n_heads, head_d), jnp.float32),  # flash acc
+            pltpu.VMEM((rows8 * n_heads, 1), jnp.float32),     # flash m
+            pltpu.VMEM((rows8 * n_heads, 1), jnp.float32),     # flash l
         ],
     )
     x_out, k_new, v_new = pl.pallas_call(

@@ -346,66 +346,93 @@ def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
             v_row = qkv_scr[:, hidden + kvh:hidden + 2 * kvh]   # (8, KV)
             ko_ref[0] = k_row
             vo_ref[0] = v_row
-            riota = jax.lax.broadcasted_iota(jnp.int32, (8, head_d), 0)
-            for h in range(n_kv):
-                q8 = qrow[:, (h * g + g - 1) * head_d:
-                          (h * g + g) * head_d]
-                for i in range(g - 2, -1, -1):
-                    q8 = jnp.where(
-                        riota == i,
-                        qrow[:, (h * g + i) * head_d:
-                             (h * g + i + 1) * head_d], q8)
-                q8 = q8 * scale
-                q_scr[h * 8:(h + 1) * 8, :] = q8
-                kcur = k_row[:, h * head_d:(h + 1) * head_d]
-                s_cur = jnp.sum(q8 * kcur, axis=1, keepdims=True)  # (8, 1)
-                m_scr[h * 8:(h + 1) * 8, :] = jnp.broadcast_to(
-                    s_cur, (8, head_d))
-                l_scr[h * 8:(h + 1) * 8, :] = jnp.ones((8, head_d),
-                                                       jnp.float32)
-                vcur = v_row[:, h * head_d:(h + 1) * head_d]
-                acc_scr[h * 8:(h + 1) * 8, :] = vcur
+            if head_d % 128 == 0:
+                # reshape-128 path (measured: 128-lane splits/merges are
+                # the ONLY cheap layout moves; 4D transposes run at
+                # ~0.15 GB/s and per-head loops serialize): rows become
+                # (replica r, query head h) r-major via one free reshape
+                q4 = (qrow * scale).reshape(8 * n_heads, head_d)
+                krep = jnp.concatenate(
+                    [k_row[:, j * head_d:(j + 1) * head_d]
+                     for j in range(n_kv) for _ in range(g)], axis=1)
+                vrep = jnp.concatenate(
+                    [v_row[:, j * head_d:(j + 1) * head_d]
+                     for j in range(n_kv) for _ in range(g)], axis=1)
+                k4 = krep.reshape(8 * n_heads, head_d)
+                v4 = vrep.reshape(8 * n_heads, head_d)
+                q_scr[:] = q4
+                s_cur = jnp.sum(q4 * k4, axis=1, keepdims=True)
+                m_scr[:] = jnp.broadcast_to(s_cur, (8 * n_heads, head_d))
+                l_scr[:] = jnp.ones((8 * n_heads, head_d), jnp.float32)
+                acc_scr[:] = v4
+            else:
+                riota = jax.lax.broadcasted_iota(jnp.int32, (8, head_d), 0)
+                for h in range(n_kv):
+                    q8 = qrow[:, (h * g + g - 1) * head_d:
+                              (h * g + g) * head_d]
+                    for i in range(g - 2, -1, -1):
+                        q8 = jnp.where(
+                            riota == i,
+                            qrow[:, (h * g + i) * head_d:
+                                 (h * g + i + 1) * head_d], q8)
+                    q8 = q8 * scale
+                    q_scr[h * 8:(h + 1) * 8, :] = q8
+                    kcur = k_row[:, h * head_d:(h + 1) * head_d]
+                    s_cur = jnp.sum(q8 * kcur, axis=1, keepdims=True)
+                    m_scr[h * 8:(h + 1) * 8, :] = jnp.broadcast_to(
+                        s_cur, (8, head_d))
+                    l_scr[h * 8:(h + 1) * 8, :] = jnp.ones((8, head_d),
+                                                           jnp.float32)
+                    vcur = v_row[:, h * head_d:(h + 1) * head_d]
+                    acc_scr[h * 8:(h + 1) * 8, :] = vcur
 
         @pl.when(kidx * psz < pos)
         def _():
-            rows = 8 * n_kv
+            rows = q_scr.shape[0]
             cols = n_kv * psz
-            q_all = q_scr[:]                                    # (8k, d)
+            q_all = q_scr[:]
             k2 = kc_ref[0].reshape(cols, head_d).astype(jnp.float32)
             s = jax.lax.dot_general(
                 q_all, k2, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (8k, k*psz)
+                preferred_element_type=jnp.float32)             # (rows, cols)
             ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-            valid = ((ri // 8) == (ci // psz)) & \
+            if head_d % 128 == 0:
+                row_kv = (ri % n_heads) // g    # r-major (replica, head)
+            else:
+                row_kv = ri // 8                # h-major groups of 8
+            valid = (row_kv == (ci // psz)) & \
                 ((kidx * psz + (ci % psz)) < pos)
             s = jnp.where(valid, s, -jnp.inf)
-            m_old = m_scr[:, 0:1]                               # (8k, 1)
+            m_old = m_scr[:, 0:1]
             m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
             corr = jnp.exp(m_old - m_new)
             pe = jnp.exp(s - m_new)   # masked cols are exactly 0
             v2 = vc_ref[0].reshape(cols, head_d).astype(jnp.float32)
             av = jax.lax.dot_general(
                 pe, v2, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (8k, d)
+                preferred_element_type=jnp.float32)
             acc_scr[:] = acc_scr[:] * corr + av
             l_scr[:] = l_scr[:] * corr + jnp.sum(pe, axis=1, keepdims=True)
             m_scr[:] = jnp.broadcast_to(m_new, (rows, head_d))
 
     @pl.when(role == R_ATTF)
     def _():
-        ciota = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
-        outs = []
-        for h in range(n_kv):
-            av = acc_scr[h * 8:(h + 1) * 8, :] / \
-                l_scr[h * 8:(h + 1) * 8, :]
-            for i in range(g):
-                # replicate row i across all 8 rows via a selector dot
-                sel = (ciota == i).astype(jnp.float32)          # (8, 8)
-                outs.append(jax.lax.dot_general(
-                    sel, av, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-        attn_scr[:] = jnp.concatenate(outs, axis=1)             # (8, H)
+        if head_d % 128 == 0:
+            attn_scr[:] = (acc_scr[:] / l_scr[:]).reshape(8, hidden)
+        else:
+            ciota = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+            outs = []
+            for h in range(n_kv):
+                av = acc_scr[h * 8:(h + 1) * 8, :] / \
+                    l_scr[h * 8:(h + 1) * 8, :]
+                for i in range(g):
+                    # replicate row i across the 8 rows via a selector dot
+                    sel = (ciota == i).astype(jnp.float32)      # (8, 8)
+                    outs.append(jax.lax.dot_general(
+                        sel, av, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+            attn_scr[:] = jnp.concatenate(outs, axis=1)         # (8, H)
 
     @pl.when(role == R_O)
     def _():
@@ -472,6 +499,9 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
     kvn_dim = hidden + 2 * kvh
     ctx = kv_k.shape[2]
     assert ctx % psz == 0 and ctx // psz >= 1, (ctx, psz)
+    # attention-state rows: r-major (8*n_heads) on the reshape-128 path,
+    # h-major groups (8*n_kv) otherwise
+    arow = 8 * n_heads if head_d % 128 == 0 else 8 * n_kv
     inv = rope_freqs(head_d, rope_base, rope_freq_factors).reshape(1, -1)
     x8 = jnp.broadcast_to(x.astype(jnp.float32), (8, hidden))
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
@@ -518,10 +548,10 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
             pltpu.VMEM((8, hidden), jnp.float32),       # h (rms'd input)
             pltpu.VMEM((8, kvn_dim), jnp.float32),      # qkv accumulator
             pltpu.VMEM((8, hidden), jnp.float32),       # attention out
-            pltpu.VMEM((8 * n_kv, head_d), jnp.float32),  # q rows
-            pltpu.VMEM((8 * n_kv, head_d), jnp.float32),  # flash m
-            pltpu.VMEM((8 * n_kv, head_d), jnp.float32),  # flash l
-            pltpu.VMEM((8 * n_kv, head_d), jnp.float32),  # flash acc
+            pltpu.VMEM((arow, head_d), jnp.float32),    # q rows
+            pltpu.VMEM((arow, head_d), jnp.float32),    # flash m
+            pltpu.VMEM((arow, head_d), jnp.float32),    # flash l
+            pltpu.VMEM((arow, head_d), jnp.float32),    # flash acc
             pltpu.VMEM((8, ffn), jnp.float32),          # up accumulator
             pltpu.VMEM((8, ffn), jnp.float32),          # gate -> activation
         ],

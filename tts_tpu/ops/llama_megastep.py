@@ -382,15 +382,20 @@ def llama_megastep_reference(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *,
 # (L, n_pages + n_ffn): per-slot KV pages fold flash-style with the page
 # index map clamped at the max live page across slots (dead pages cost no
 # DMA), then the FFN streams in fc-wide slices as in the single-stream
-# phase kernel. Attention state is kept h-major ((g, n_kv*B, d) blocks)
-# so KV page blocks reshape to matching rows without sublane relayouts.
+# phase kernel. Attention uses the reshape-128 layout (requires head_d a
+# multiple of 128, else the XLA reference runs): the (B, n_heads*d)
+# activation reshapes FREE to (B*n_heads, d) r-major rows matching the
+# KV page block's (B*n_kv*page, d) flat reshape, so each page folds with
+# ONE masked bf16 score dot + ONE AV dot — measured: Mosaic 4D
+# transposes run at ~0.15 GB/s and per-head loops serialize the weight
+# stream; 128-lane reshapes are the only cheap layout moves
+# (tools/probe_mosaic3.py).
 
 
 def _llama_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
                           o_c, o_s, g_c, g_s, u_c, u_s, d_c, d_s, norms,
                           kc_ref, vc_ref, x_out, k_out, v_out,
-                          x_scr, h_scr, q_scr, k_scr, v_scr,
-                          acc_scr, m_scr, l_scr,
+                          x_scr, h_scr, q_scr, acc_scr, m_scr, l_scr,
                           *, n_layers, n_pages, n_ffn, n_heads, n_kv,
                           hidden, head_d, b, page, bias):
     l = pl.program_id(0)
@@ -398,7 +403,7 @@ def _llama_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
     scale = 1.0 / np.sqrt(head_d)
     g = n_heads // n_kv
     kvh = n_kv * head_d
-    rows = n_kv * b
+    rows = b * n_heads
     h2d = head_d // 2
 
     @pl.when((l == 0) & (p == 0))
@@ -417,7 +422,6 @@ def _llama_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
         sind = jnp.concatenate([jnp.sin(ang)] * 2, axis=1)
 
         def rope_full(y, nh):
-            from jax.experimental.pallas import tpu as pltpu
             cw = jnp.concatenate([cosd] * nh, axis=1)
             sw = jnp.concatenate([sind] * nh, axis=1)
             rn = pltpu.roll(y, y.shape[1] - h2d, 1)
@@ -425,63 +429,60 @@ def _llama_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
             li = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
             return y * cw + jnp.where((li % head_d) < h2d, -rn, rp) * sw
 
-        qrow = rope_full(qkv[:, :hidden], n_heads)
+        q = rope_full(qkv[:, :hidden], n_heads)
         k_row = rope_full(qkv[:, hidden:hidden + kvh], n_kv)
         v_row = qkv[:, hidden + kvh:hidden + 2 * kvh]
         k_out[0] = k_row
         v_out[0] = v_row
-        # h-major staging: row h*B + slot
-        k_scr[:] = jnp.concatenate(
-            [k_row[:, h * head_d:(h + 1) * head_d] for h in range(n_kv)],
-            axis=0)
-        v_scr[:] = jnp.concatenate(
-            [v_row[:, h * head_d:(h + 1) * head_d] for h in range(n_kv)],
-            axis=0)
-        for gi in range(g):
-            q_scr[gi] = jnp.concatenate(
-                [qrow[:, (h * g + gi) * head_d:(h * g + gi + 1) * head_d]
-                 for h in range(n_kv)], axis=0) * scale
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-        # finite sentinel, NOT -inf (see parler_megastep batched kernel)
-        m_scr[:] = jnp.full_like(m_scr, -1e30)
-        l_scr[:] = jnp.zeros_like(l_scr)
+        # r-major rows (slot, query head) via one free 128-lane reshape;
+        # flash state initializes from the current token (m = s_cur,
+        # l = 1, acc = v_cur), so no separate finalize fold is needed
+        q4 = (q * scale).reshape(rows, head_d)
+        krep = jnp.concatenate(
+            [k_row[:, j * head_d:(j + 1) * head_d]
+             for j in range(n_kv) for _ in range(g)], axis=1)
+        vrep = jnp.concatenate(
+            [v_row[:, j * head_d:(j + 1) * head_d]
+             for j in range(n_kv) for _ in range(g)], axis=1)
+        k4 = krep.reshape(rows, head_d)
+        v4 = vrep.reshape(rows, head_d)
+        q_scr[:] = q4
+        s_cur = jnp.sum(q4 * k4, axis=1, keepdims=True)
+        m_scr[:] = s_cur
+        l_scr[:] = jnp.ones((rows, 1), jnp.float32)
+        acc_scr[:] = v4
 
     @pl.when((p < n_pages) & (p <= mp_ref[0]))
     def _():
-        k3 = kc_ref[:].transpose(1, 0, 2, 3).reshape(rows, page, head_d) \
-            .astype(jnp.float32)
-        v3 = vc_ref[:].transpose(1, 0, 2, 3).reshape(rows, page, head_d) \
-            .astype(jnp.float32)
-        j = p * page + jax.lax.broadcasted_iota(jnp.int32, (rows, page), 1)
-        live = j < pos_ref[:]
-        for gi in range(g):
-            s = jnp.sum(q_scr[gi][:, None, :] * k3, axis=2)  # (rows, page)
-            s = jnp.where(live, s, -1e30)
-            m_prev = m_scr[gi, :, 0]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-            alpha = jnp.exp(m_prev - m_new)
-            pexp = jnp.exp(s - m_new[:, None])
-            l_scr[gi, :, 0] = l_scr[gi, :, 0] * alpha + jnp.sum(pexp, axis=1)
-            acc_scr[gi] = acc_scr[gi] * alpha[:, None] + \
-                jnp.sum(pexp[:, :, None] * v3, axis=1)
-            m_scr[gi, :, 0] = m_new
+        cols = b * n_kv * page
+        k2 = kc_ref[:].reshape(cols, head_d)               # r-major (b,j,t)
+        v2 = vc_ref[:].reshape(cols, head_d)
+        s = jax.lax.dot_general(
+            q_scr[:].astype(jnp.bfloat16), k2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (rows, cols)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        t_pos = p * page + (ci % page)
+        valid = ((ri // n_heads) == (ci // (n_kv * page))) & \
+            (((ri % n_heads) // g) == ((ci // page) % n_kv)) & \
+            (t_pos < pos_ref[:])
+        s = jnp.where(valid, s, -jnp.inf)
+        m_old = m_scr[:]                                   # (rows, 1)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        pe = jnp.exp(s - m_new)
+        av = jax.lax.dot_general(
+            pe.astype(jnp.bfloat16), v2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (rows, d)
+        acc_scr[:] = acc_scr[:] * alpha + av
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(pe, axis=1, keepdims=True)
+        m_scr[:] = m_new
 
     @pl.when(p == n_pages - 1)
     def _():
-        # fold the current token analytically, assemble (B, H) attention
-        kcur = k_scr[:]
-        vcur = v_scr[:]
-        att_blocks = []
-        for gi in range(g):
-            s_cur = jnp.sum(q_scr[gi] * kcur, axis=1, keepdims=True)
-            m_f = jnp.maximum(m_scr[gi], s_cur)
-            alpha = jnp.exp(m_scr[gi] - m_f)
-            pc = jnp.exp(s_cur - m_f)
-            denom = l_scr[gi] * alpha + pc
-            att_blocks.append((acc_scr[gi] * alpha + pc * vcur) / denom)
-        attn = jnp.concatenate(
-            [att_blocks[gi][h * b:(h + 1) * b, :]
-             for h in range(n_kv) for gi in range(g)], axis=1)  # (B, H)
+        attn = (acc_scr[:] / l_scr[:]).reshape(b, hidden)  # free merge
         o = _dqdot(attn, o_c[0], o_s[0], bias)
         x = x_scr[:] + o
         x_scr[:] = x
@@ -519,7 +520,8 @@ def llama_megastep_batched(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *,
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    if not on_tpu or b % 8 or ctx % page:
+    head_d = (x.shape[1]) // n_heads
+    if not on_tpu or b % 8 or ctx % page or head_d % 128:
         return llama_megastep_batched_reference(
             mega, x, kv_k, kv_v, pos, qtype=qtype, n_heads=n_heads,
             n_kv=n_kv, rope_base=rope_base,
@@ -551,7 +553,8 @@ def _llama_megastep_batched_tpu(mega: LlamaMegaLayers, x, kv_k, kv_v, pos,
     pos = jnp.asarray(pos, jnp.int32)
     mp = jnp.max(jnp.maximum(pos - 1, 0)) // page
     mp_arr = mp.reshape(1)
-    pos_rows = jnp.tile(pos, (n_kv,))[:, None]             # (n_kv*B, 1)
+    # r-major rows (slot, query head): row // n_heads = slot
+    pos_rows = jnp.repeat(pos, n_heads)[:, None]           # (B*nh, 1)
     kv_k5 = kv_k.reshape(L * b, kvh_n, ctx, d)
     kv_v5 = kv_v.reshape(L * b, kvh_n, ctx, d)
 
@@ -571,7 +574,7 @@ def _llama_megastep_batched_tpu(mega: LlamaMegaLayers, x, kv_k, kv_v, pos,
         num_scalar_prefetch=1,
         grid=(L, n_pages + n_ffn),
         in_specs=[
-            pl.BlockSpec((n_kv * b, 1), lambda i, p, mp: (0, 0)),
+            pl.BlockSpec((b * n_heads, 1), lambda i, p, mp: (0, 0)),
             pl.BlockSpec((b, hidden), lambda i, p, mp: (0, 0)),
             pl.BlockSpec((1, head_d // 2), lambda i, p, mp: (0, 0)),
             pl.BlockSpec((1, hidden // pk, kv_n), at_l),
@@ -596,14 +599,10 @@ def _llama_megastep_batched_tpu(mega: LlamaMegaLayers, x, kv_k, kv_v, pos,
         scratch_shapes=[
             pltpu.VMEM((b, hidden), jnp.float32),              # x residual
             pltpu.VMEM((b, hidden), jnp.float32),              # h2
-            pltpu.VMEM((n_heads // n_kv, n_kv * b, head_d),
-                       jnp.float32),                           # q rows
-            pltpu.VMEM((n_kv * b, head_d), jnp.float32),       # k cur
-            pltpu.VMEM((n_kv * b, head_d), jnp.float32),       # v cur
-            pltpu.VMEM((n_heads // n_kv, n_kv * b, head_d),
-                       jnp.float32),                           # flash acc
-            pltpu.VMEM((n_heads // n_kv, n_kv * b, 1), jnp.float32),
-            pltpu.VMEM((n_heads // n_kv, n_kv * b, 1), jnp.float32),
+            pltpu.VMEM((b * n_heads, head_d), jnp.float32),    # q rows
+            pltpu.VMEM((b * n_heads, head_d), jnp.float32),    # flash acc
+            pltpu.VMEM((b * n_heads, 1), jnp.float32),         # flash m
+            pltpu.VMEM((b * n_heads, 1), jnp.float32),         # flash l
         ],
     )
     x_out, k_new, v_new = pl.pallas_call(
