@@ -52,7 +52,7 @@ from .quant_matmul import QK
 # roles
 R_QKV, R_O, R_GATE, R_UP, R_DOWN, R_HEAD, R_ATTP, R_ATTF = range(8)
 # meta rows
-(M_ROLE, M_SID, M_LAYER, M_K0, M_N0, M_OUTN, M_KL, M_PG) = range(8)
+(M_ROLE, M_SID, M_LAYER, M_K0, M_N0, M_OUTN, M_SID2, M_PG) = range(8)
 N_META = 8
 
 
@@ -74,7 +74,7 @@ class LlamaFlatMega:
 
     def __init__(self, codes0, scales0, codes1, scales1, meta, norms,
                  out_norm, *, vocab_pad: int, ffn: int, psz: int, kk: int,
-                 split: bool = True):
+                 split: bool = True, fullk: bool = False):
         self.codes0 = codes0
         self.scales0 = scales0
         self.codes1 = codes1
@@ -87,16 +87,18 @@ class LlamaFlatMega:
         self.psz = psz
         self.kk = kk
         self.split = split
+        self.fullk = fullk
 
     def tree_flatten(self):
         return ((self.codes0, self.scales0, self.codes1, self.scales1,
                  self.meta, self.norms, self.out_norm),
-                (self.vocab_pad, self.ffn, self.psz, self.kk, self.split))
+                (self.vocab_pad, self.ffn, self.psz, self.kk, self.split,
+                 self.fullk))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, vocab_pad=aux[0], ffn=aux[1], psz=aux[2],
-                   kk=aux[3], split=aux[4])
+                   kk=aux[3], split=aux[4], fullk=aux[5])
 
 
 jax.tree_util.register_pytree_node(
@@ -155,6 +157,47 @@ def build_schedule(L: int, hidden: int, kvn: int, ffn: int, vocab_pad: int,
     return np.asarray(rows, np.int32).T.copy()
 
 
+@functools.lru_cache(maxsize=8)
+def build_fullk_schedule(L: int, hidden: int, kvn: int, ffn: int,
+                         vocab_pad: int, tn: int,
+                         n_pages: int) -> np.ndarray:
+    """Full-K column-tile schedule: stream A (M_SID) carries whole-K tiles
+    of qkv/o/gate/up/head (K = hidden); stream B (M_SID2) carries the
+    down projection's whole-K tiles (K = ffn). Outside their windows each
+    stream's index points at its NEXT tile so the DMA issues early and
+    rides under the other stream's phases (~1000 grid steps for Orpheus
+    vs ~3350 k-sliced — per-phase overhead was the residual cost)."""
+    rows = []
+    sid = [0]
+    sid2 = [0]
+
+    def mat(role, layer, N, pg, stream_b=False):
+        for n in range(N // tn):
+            rows.append([role, sid[0], layer, 0, n, 0, sid2[0], pg])
+            if stream_b:
+                sid2[0] += 1
+            else:
+                sid[0] += 1
+
+    last = n_pages - 1
+    for l in range(L):
+        mat(R_QKV, l, kvn, 0)
+        for p in range(n_pages):
+            rows.append([R_ATTP, sid[0], l, p, 0, 0, sid2[0], p])
+        rows.append([R_ATTF, sid[0], l, 0, 0, 0, sid2[0], last])
+        mat(R_O, l, hidden, last)
+        mat(R_GATE, l, ffn, last)
+        mat(R_UP, l, ffn, last)
+        mat(R_DOWN, l, hidden, last, stream_b=True)
+    for n in range(vocab_pad // tn):
+        rows.append([R_HEAD, sid[0], L - 1, 0, n, n, sid2[0] - 1, last])
+        sid[0] += 1
+    m = np.asarray(rows, np.int32).T.copy()
+    # clamp stream-B index after its final tile (no tile left to prefetch)
+    m[M_SID2] = np.minimum(m[M_SID2], sid2[0] - 1)
+    return m
+
+
 def _layer_tiles(codes_t, scales_t, kk: int, tn: int, pack: bool):
     """(L, Kp, N) codes + (L, K//QK, N) scales -> K-split stream tiles
     ((L, nt, kr, tn) x2, (L, nt, kk//2//QK, tn) x2), n-outer k-inner."""
@@ -187,8 +230,10 @@ def _layer_tiles(codes_t, scales_t, kk: int, tn: int, pack: bool):
 
 def _layer_tiles_whole(codes_t, scales_t, kk: int, tn: int, pack: bool):
     """Whole (kk x tn) tiles, single stream (no K-split): (L, nt, kr, tn)
-    codes + (L, nt, kk//QK, tn) bf16 scales, n-outer k-inner order."""
-    from .quant_matmul import unpack_codes_t
+    codes + (L, nt, kk//QK, tn) bf16 scales, n-outer k-inner order.
+    Packing follows pack_codes_t (PACK_BLOCK half-split blocks) so
+    _dqdot's packed loop stays consistent for kk > PACK_BLOCK."""
+    from .quant_matmul import pack_codes_t, unpack_codes_t
     L = codes_t.shape[0]
     k = scales_t.shape[1] * QK
     n = codes_t.shape[2]
@@ -198,9 +243,7 @@ def _layer_tiles_whole(codes_t, scales_t, kk: int, tn: int, pack: bool):
     nk, nn = k // kk, n // tn
     c = c.reshape(L, nk, kk, nn, tn).transpose(0, 3, 1, 2, 4)
     if pack:
-        lo = c[..., : kk // 2, :].astype(jnp.uint8)
-        hi = c[..., kk // 2:, :].astype(jnp.uint8)
-        c = jax.lax.bitcast_convert_type((hi << 4) | lo, jnp.int8)
+        c = pack_codes_t(c)
     c = c.reshape(L, nn * nk, c.shape[-2], tn)
     s = scales_t.reshape(L, nk, kk // QK, nn, tn).transpose(0, 3, 1, 2, 4)
     s = s.reshape(L, nn * nk, kk // QK, tn).astype(jnp.bfloat16)
@@ -209,7 +252,7 @@ def _layer_tiles_whole(codes_t, scales_t, kk: int, tn: int, pack: bool):
 
 def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
                     n_heads: int, n_kv: int, ctx: int,
-                    split: bool = False) -> LlamaFlatMega:
+                    mode: str = "fullk") -> LlamaFlatMega:
     """Build the flat stream from LlamaMegaLayers + the LM head QuantTensor.
 
     `ctx` is the KV-cache context length the decode will run with (pages
@@ -231,6 +274,50 @@ def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
     pack = qtype == quants.GGML_TYPE_Q4_0
     vocab_pad = -(-vocab // tn) * tn
     psz = pick_page(ctx)
+    if mode == "fullk":
+        from .quant_matmul import can_pack
+        if pack and not (can_pack(hidden) and can_pack(ffn)):
+            raise ValueError("fullk needs pack-aligned K dims")
+
+        @jax.jit
+        def build_fk(mega, head_c, head_s):
+            parts = [[], []]
+            for c, s in ((mega.qkv_codes, mega.qkv_scales),
+                         (mega.o_codes, mega.o_scales),
+                         (mega.gate_codes, mega.gate_scales),
+                         (mega.up_codes, mega.up_scales)):
+                for i, t in enumerate(_layer_tiles_whole(
+                        c, s.astype(jnp.float32), hidden, tn, pack)):
+                    parts[i].append(t)
+            lt = [jnp.concatenate(p, axis=1) for p in parts]
+            lt = [a.reshape(-1, a.shape[-2], tn) for a in lt]
+            npad = vocab_pad - head_c.shape[-1]
+            hc = jnp.pad(head_c, ((0, 0), (0, npad)))
+            hs = jnp.pad(head_s, ((0, 0), (0, npad)))
+            ht = _layer_tiles_whole(hc[None], hs[None].astype(jnp.float32),
+                                    hidden, tn, pack)
+            c0 = jnp.concatenate([lt[0], ht[0][0]], axis=0)
+            s0 = jnp.concatenate([lt[1], ht[1][0]], axis=0)
+            dt_ = _layer_tiles_whole(mega.down_codes,
+                                     mega.down_scales.astype(jnp.float32),
+                                     ffn, tn, pack)
+            c1 = dt_[0].reshape(-1, dt_[0].shape[-2], tn)
+            s1 = dt_[1].reshape(-1, dt_[1].shape[-2], tn)
+            return c0, s0, c1, s1, mega.norms.astype(jnp.float32)
+
+        c0, s0, c1, s1, nm = build_fk(mega, head.codes_t, head.scales_t)
+        meta = jnp.asarray(build_fullk_schedule(
+            L, hidden, kvn, ffn, vocab_pad, tn, ctx // psz))
+        na = int(((meta[M_ROLE] < R_ATTP) & (meta[M_ROLE] != R_DOWN)).sum())
+        nb = int((meta[M_ROLE] == R_DOWN).sum())
+        assert na == c0.shape[0] and nb == c1.shape[0], \
+            (na, nb, c0.shape, c1.shape)
+        onm = jnp.asarray(out_norm, jnp.float32).reshape(1, hidden)
+        return LlamaFlatMega(c0, s0, c1, s1, meta, nm, onm,
+                             vocab_pad=vocab_pad, ffn=ffn, psz=psz,
+                             kk=hidden, split=False, fullk=True)
+
+    split = mode == "split"
 
     @jax.jit
     def build(mega, head_c, head_s):
@@ -272,7 +359,7 @@ def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
                  s1_ref, nm_ref, onm_ref, kc_ref, vc_ref, lg_ref, ko_ref,
                  vo_ref, x_scr, h_scr, qkv_scr, attn_scr, q_scr, m_scr,
                  l_scr, acc_scr, up_scr, gate_scr, *, n_heads, n_kv, hidden,
-                 head_d, bias, kk, tn, ffn, psz, split):
+                 head_d, bias, kk, tn, ffn, psz, split, fullk):
     t = pl.program_id(0)
     role = meta_ref[M_ROLE, t]
     kidx = meta_ref[M_K0, t]
@@ -296,6 +383,13 @@ def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
                        bias) +
                 _dqdot(src_ref[:, pl.ds(src_off + h2, h2)], c1_ref[0],
                        s1_ref[0], bias))
+
+    def down_dot():
+        # fullk: the down projection streams whole-K (ffn) tiles on its
+        # own array (stream B, index M_SID2)
+        if fullk:
+            return _dqdot(gate_scr[:], c1_ref[0], s1_ref[0], bias)
+        return tile_dot(gate_scr, k0)
 
     def accum(dst_ref, part, first):
         prev = dst_ref[:, pl.ds(n0, tn)]
@@ -460,7 +554,7 @@ def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
 
     @pl.when(role == R_DOWN)
     def _():
-        part = tile_dot(gate_scr, k0)
+        part = down_dot()
         x_scr[:, pl.ds(n0, tn)] = x_scr[:, pl.ds(n0, tn)] + part
 
     @pl.when(role == R_HEAD)
@@ -509,12 +603,15 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
     def cmap(t, m, p):
         return (m[M_SID, t], 0, 0)
 
+    def c2map(t, m, p):
+        return (m[M_SID2, t], 0, 0)
+
     def nmmap(t, m, p):
         return (m[M_LAYER, t], 0, 0)
 
     def kvmap(t, m, p):
         page = jnp.minimum(m[M_PG, t], jnp.maximum(p[0] - 1, 0) // psz)
-        return (m[M_KL, t], 0, page, 0)
+        return (m[M_LAYER, t], 0, page, 0)
 
     def lgmap(t, m, p):
         return (0, m[M_OUTN, t])
@@ -528,10 +625,10 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
             pl.BlockSpec((1, flat.codes0.shape[1], tn), cmap),
             pl.BlockSpec((1, flat.scales0.shape[1], tn), cmap),
             pl.BlockSpec((1, flat.codes1.shape[1], tn),
-                         cmap if flat.split else
+                         c2map if flat.fullk else cmap if flat.split else
                          (lambda t, m, p: (0, 0, 0))),
             pl.BlockSpec((1, flat.scales1.shape[1], tn),
-                         cmap if flat.split else
+                         c2map if flat.fullk else cmap if flat.split else
                          (lambda t, m, p: (0, 0, 0))),
             pl.BlockSpec((1, 2, hidden), nmmap),
             pl.BlockSpec((1, hidden), lambda t, m, p: (0, 0)),
@@ -560,7 +657,7 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
         functools.partial(_flat_kernel, n_heads=n_heads, n_kv=n_kv,
                           hidden=hidden, head_d=head_d, bias=_BIAS[qtype],
                           kk=kkq, tn=tn, ffn=ffn, psz=psz,
-                          split=flat.split),
+                          split=flat.split, fullk=flat.fullk),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, vocab_pad), jnp.float32),

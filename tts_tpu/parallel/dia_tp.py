@@ -247,6 +247,7 @@ def dia_megastep_tp(tpl: DiaTPLayers, x, kv_k, kv_v, pos, ck, cv, vtail,
                 P(None, None, "tp", None, None),
                 P(None, None, "tp", None), P())
     out_specs = (P(), P(None, None, "tp"), P(None, None, "tp"))
-    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
     return fn(tpl, x, kv_k, kv_v, jnp.asarray(pos, jnp.int32), ck, cv,
               vtail, inv)

@@ -210,5 +210,6 @@ def llama_megastep_tp(tpl: LlamaTPLayers, x, kv_k, kv_v, pos, inv_freq, *,
     in_specs = (LLAMA_TP_SPECS, P(), P(None, "tp", None, None),
                 P(None, "tp", None, None), P(), P())
     out_specs = (P(), P(None, "tp"), P(None, "tp"))
-    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
     return fn(tpl, x, kv_k, kv_v, jnp.asarray(pos, jnp.int32), inv_freq)

@@ -67,7 +67,7 @@ def sharded_dac_decode(cfg: DACConfig, w: DACWeights, codes: jax.Array,
         out = jax.lax.dynamic_slice(wav, (keep_from,), (tl * up,))
         return out
 
-    fn = shard_map(local, mesh=mesh,
+    fn = shard_map(local, mesh=mesh, check_vma=False,
                    in_specs=(P(axis, None),), out_specs=P(axis))
     out = fn(codes_p)
     return out[: t * up]

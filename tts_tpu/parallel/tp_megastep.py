@@ -214,7 +214,8 @@ def megastep_tp(tpl: TPLayers, x, kv_k, kv_v, pos, *, mesh: Mesh, qtype: int,
     in_specs = (TP_SPECS, P(), P(None, "tp", None, None),
                 P(None, "tp", None, None), P())
     out_specs = (P(), P(None, "tp"), P(None, "tp"))
-    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
     return fn(tpl, x, kv_k, kv_v, jnp.asarray(pos, jnp.int32))
 
 
@@ -316,6 +317,6 @@ def megastep_weight_gather(mega: MegaLayers, x, kv_k, kv_v, pos, *,
     # outputs are replicated by construction (every device runs identical
     # full-weight math after the gather) but the VMA checker cannot infer
     # that through the all-gather carry; check_vma=False opts out
-    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_vma=False)
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
     return fn(mega, x, kv_k, kv_v, jnp.asarray(pos, jnp.int32))
