@@ -7,6 +7,30 @@ with trivial collectives), so the measured gap vs the fused megakernels
 is what a real tp>1 deployment would pay per chip today: the TP paths
 decode through per-projection quant_matmul calls, not the flat-stream
 megakernels.
+
+MEASURED (v5e, 2026-08-21, min-of-3 over 32-step scans):
+  parler  tp=1 shard_map 2.020 ms/step vs flat megastep 0.645  -> 3.13x
+  orpheus tp=1 shard_map 10.41 ms/step vs flat megastep 3.899  -> 2.67x
+  (requires check_vma=False on the shard_map wrappers: new JAX rejects
+  pallas out_shapes without vma inside checked shard_map)
+
+Both gaps exceed 2x, so per the round-5 contract here is the PLAN for
+sharded megastep kernels (not yet implemented):
+  The flat megastep is already Megatron-shardable along its existing
+  tile axis. Column-shard stream A's N-tiles over `tp` (each device owns
+  every matrix's n-tile subset: qkv head-group columns, gate/up columns,
+  LM-head vocab shard) and row-shard stream B (down) on K — exactly the
+  TPLayers layout — then run the SAME flat kernel per device inside
+  shard_map on its local tile arrays with a per-device schedule
+  (build_fullk_schedule over the local N dims), adding one psum after
+  the o/down partial outputs and a final all-gather (or sharded top-k)
+  over the vocab-sharded logits. Attention shards by kv-head groups as
+  in llama_tp (KV cache already head-sharded). Because the kernel's
+  schedule/meta are host-built per shard, no kernel code changes are
+  needed beyond exposing the o/down partial sums as outputs for the
+  psum; estimated per-device rate equals the single-chip flat kernel on
+  1/tp of the bytes, recovering the 2.7-3.1x that the per-projection TP
+  paths currently pay.
 """
 from __future__ import annotations
 
@@ -98,7 +122,7 @@ def orpheus():
     w = w._replace(head=w.head.fast_lm_head())
     flat, qtype = maybe_prep_llama_flat(cfg, w, ctx=cfg.max_context_length)
     tpl, _ = prep_llama_tp(w.layers, 1, n_heads=cfg.n_attn_heads,
-                           n_kv=cfg.n_kv_heads, hidden=cfg.hidden_size)
+                           n_kv=cfg.n_kv_heads, head_d=cfg.head_size)
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("tp",))
     dt = kv_cache_dtype()
     rng = np.random.default_rng(0)
