@@ -258,4 +258,7 @@ class DACRunner:
         padded[:t] = codes
         wav = dac_decode(self.cfg, self.weights, jnp.asarray(padded),
                          jnp.int32(t))
-        return np.asarray(wav[: t * self.cfg.up_sampling_factor])
+        # fetch the whole bucket and slice in numpy: an eager device-array
+        # slice recompiles per novel length (~400 ms on the compile relay)
+        # and was the bulk of TTFA (tools/probe_ttfa2.py)
+        return np.asarray(wav)[: t * self.cfg.up_sampling_factor]

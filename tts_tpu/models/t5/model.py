@@ -198,7 +198,7 @@ class T5Runner:
                 pos, pos, self.cfg.relative_attn_buckets, 128)).astype(jnp.int32)
         out = t5_encode(self.cfg, self.weights, jnp.asarray(toks),
                         jnp.int32(t), self._bucket_cache[tb])
-        return np.asarray(out[:t])
+        return np.asarray(out)[:t]
 
     def generate(self, prompt: str) -> np.ndarray:
         ids = self.tokenizer.tokenize(prompt)
