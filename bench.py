@@ -642,9 +642,10 @@ def main() -> None:
     tokens = jnp.asarray(rng.integers(0, 900, prompt_len).astype(np.int32))
     key = jax.random.PRNGKey(0)
 
-    from tts_tpu.models.parler.model import (maybe_prep_mega,
-                                             maybe_prep_parler_flat)
-    mega, mega_qtype = maybe_prep_parler_flat(cfg, weights)
+    from tts_tpu.models.parler.model import maybe_prep_mega
+    # the phase megastep wins for Parler in the full generation loop
+    # (0.816 vs 1.127 ms/step-eff vs the flat kernel, tools A/B 2026-08-21)
+    mega, mega_qtype = maybe_prep_mega(cfg, weights)
 
     def run(k):
         kv_k, kv_v = parler_prefill(cfg, weights, tokens, kv_k0, kv_v0)
@@ -723,9 +724,7 @@ def main() -> None:
                                                 init_batched_state,
                                                 insert_request)
     B = 8
-    # the batched engine runs the phase-megastep batched kernel (the flat
-    # stream is the single-stream path)
-    bmega, bmega_qtype = maybe_prep_mega(cfg, weights)
+    bmega, bmega_qtype = mega, mega_qtype
     bst = init_batched_state(cfg, B, jax.random.PRNGKey(2))
     kv_k, kv_v = parler_prefill(cfg, weights, tokens, kv_k0, kv_v0)
     for slot in range(B):

@@ -469,9 +469,12 @@ def maybe_prep_mega(cfg: ParlerConfig, w: ParlerWeights):
 
 
 def maybe_prep_parler_flat(cfg: ParlerConfig, w: ParlerWeights):
-    """Prefer the flat-tile megastep (ops/parler_flat: fine-grained weight
-    stream + paged flash attention) for the single-stream decode; fall
-    back to the phase megastep, then the per-matmul path. Returns
+    """Flat-tile megastep prep for Parler (ops/parler_flat). NOTE: at
+    Parler scale the PHASE megastep measured faster in the full
+    generation loop (0.816 vs 1.127 ms/step-eff head-to-head on v5e —
+    24 layers x 8.2 MB phases pipeline fine, and the fine grid's
+    per-phase overhead dominates), so the runner preps maybe_prep_mega;
+    this stays as the measured alternative. Returns
     (flat_or_mega_or_None, qtype)."""
     mega, qtype = maybe_prep_mega(cfg, w)
     if mega is None:
@@ -621,7 +624,7 @@ class ParlerRunner(TTSRunner):
             self.weights = self.weights._replace(
                 heads=self.weights.heads.fast_stacked_heads(
                     self.cfg.n_output_heads, self.cfg.output_vocab_size))
-        self._mega, self._mega_qtype = maybe_prep_parler_flat(self.cfg, self.weights)
+        self._mega, self._mega_qtype = maybe_prep_mega(self.cfg, self.weights)
 
     def update_conditional_prompt(self, file_path: str, prompt: str) -> None:
         """Re-encode the voice-conditioning prompt through an external T5
@@ -639,7 +642,7 @@ class ParlerRunner(TTSRunner):
         self.weights = self.weights._replace(
             layers=self.weights.layers._replace(cross_k=cross_k,
                                                 cross_v=cross_v))
-        self._mega, self._mega_qtype = maybe_prep_parler_flat(self.cfg, self.weights)
+        self._mega, self._mega_qtype = maybe_prep_mega(self.cfg, self.weights)
 
     def _bucket(self, n: int) -> int:
         for b in self.prompt_buckets:
