@@ -176,10 +176,13 @@ class BatchedModelWorker:
         _fill_slots fails only itself, never the other in-flight slots)."""
         for rid, msg in list(self.engine.errors.items()):
             del self.engine.errors[rid]
+            self.streams.pop(rid, None)
             t = self.tasks.pop(rid, None)
             if t is not None:
                 t.message = msg
                 t.success = False
+                if t.stream_q is not None:
+                    t.stream_q.put(None)
                 t.event.set()
 
     def _loop(self) -> None:
