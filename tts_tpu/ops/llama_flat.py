@@ -5,22 +5,25 @@ Pallas kernel whose grid is a flat stream of uniform weight tiles.
 Why flat: the round-4 (L, phases) megakernel streams weights at only
 ~355 GB/s because its phases are few huge blocks (the double-buffered DMA
 of the next 19-25 MB phase cannot hide behind unbalanced compute), while
-a fine-tile pipeline reaches the chip's practical streaming rate.
-Measured on v5e (tools/probe_flat_stream.py): a flat stream of uniform
-packed-Q4 tiles covering the full Orpheus weight set moves 1.86 GB at
-480-512 GB/s single-stream and 521-531 GB/s with two concurrent tile
-streams, with a synthetic attention bubble every 30 tiles costing ~1%.
+a fine-tile pipeline reaches the chip's practical streaming rate
+(tools/probe_flat_stream.py: 478-530 GB/s on v5e for the full 1.86 GB
+Orpheus set, attention bubbles ~1%, dynamic index maps free). Measured
+end state: 4.04-4.09 ms/step vs the phase kernel's 6.0.
 
 Design points:
-  * every weight matrix is cut into (kk logical K rows x tn N cols)
-    tiles; each tile is K-SPLIT into two half-tiles shipped as two
-    independent arrays (codes0/codes1 + scales0/scales1) so every grid
-    step keeps 4 DMAs in flight (the dual-stream +8%); Q4 codes are
-    nibble-packed per half-tile (half-split layout, `pack_codes_t`
-    semantics), scales bf16;
+  * DEFAULT mode "fullk": two streams of whole-K column tiles — stream A
+    (K = hidden: qkv/o/gate/up/LM-head n-tiles) and stream B (K = ffn:
+    the down projection), whose schedule index advances early so its
+    4 MB tiles prefetch under the gate/up phases. Whole-K tiles keep the
+    grid at ~1000 phases (k-sliced tiling measured slower purely from
+    per-phase overhead at ~3350 phases) and make every phase emit its
+    full output slice — no cross-phase accumulation. Q4 codes are
+    nibble-packed (pack_codes_t blocks), scales bf16. The k-sliced
+    ("whole") and K-split ("split") tilings remain selectable; K-split's
+    +8% DMA concurrency loses to its doubled dequant-dot count;
   * all tiles across all layers and the LM head concatenate in stream
-    order; a prefetched (9, T) metadata array gives each grid step its
-    role, source/dest lane offsets, and drives the dynamic BlockSpec
+    order; a prefetched (8, T) metadata array gives each grid step its
+    role, tile indices per stream, and drives the dynamic BlockSpec
     index maps;
   * attention is PAGED flash attention inside the stream: the KV cache
     is read in (psz)-row pages, one phase per page, with the page index
@@ -64,12 +67,13 @@ def _rms(x, w, eps=1e-5):
 class LlamaFlatMega:
     """Stream-ordered half-tiles + schedule for the flat megastep.
 
-    codes0/codes1 (T, kr, tn) int8 (K-split halves; kr = kk//4 for Q4
-    per-half-tile nibble-packing, kk//2 otherwise); scales0/scales1
-    (T, kk//(2*QK), tn) bf16; meta (8, T) int32; norms (L, 2, H) f32;
-    out_norm (1, H) f32. Registered as a pytree with (vocab_pad, ffn,
-    psz) as STATIC aux data so it rides the same `mega=` argument as
-    LlamaMegaLayers through jit boundaries.
+    fullk (default): codes0/scales0 = stream A's whole-K tiles
+    (K = hidden; packed Q4 rows kk//2), codes1/scales1 = stream B's
+    (down, K = ffn); split: K-split halves of k-sliced tiles; whole:
+    single-stream k-sliced tiles with dummy codes1. meta (8, T) int32;
+    norms (L, 2, H) f32; out_norm (1, H) f32. Registered as a pytree
+    with (vocab_pad, ffn, psz, kk, split, fullk) as STATIC aux data so
+    it rides the same `mega=` argument as LlamaMegaLayers through jit.
     """
 
     def __init__(self, codes0, scales0, codes1, scales1, meta, norms,

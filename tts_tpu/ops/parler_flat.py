@@ -2,15 +2,19 @@
 with paged KV, cross-attention to precomputed T5 K/V, GELU MLP) as ONE
 Pallas kernel over a flat stream of uniform weight tiles.
 
-Same design as ops/llama_flat (see its header for the bandwidth argument
-and the measured stream rates): uniform (kk x tn) tiles K-split into two
-concurrent DMA streams, per-half-tile nibble-packed Q4 codes, bf16
-scales, prefetched (8, T) metadata driving roles and dynamic index maps,
-and PAGED flash self-attention whose page index maps clamp at
-(pos-1)//psz — the round-4 (L,)-grid parler megastep fetched the FULL
-(heads, ctx, d) KV blocks every layer every step (~100-380 MB/step
-depending on ctx), which capped it at ~0.97 ms/step; pages cost only the
-live context.
+Same design as ops/llama_flat (see its header): uniform (kk x tn)
+weight tiles (whole-K by default; K-split selectable), nibble-packed Q4
+codes, bf16 scales, prefetched metadata driving roles and dynamic index
+maps, and PAGED flash self-attention whose page index maps clamp at
+(pos-1)//psz so only the live KV pages cost DMA.
+
+STATUS: at Parler scale the PHASE megastep (ops/parler_megastep) is
+FASTER in the full generation loop — 0.816 vs 1.127 ms/step effective
+head-to-head on v5e (24 layers x 8.2 MB phases pipeline fine; the fine
+grid's per-phase overhead dominates at this size, the opposite of the
+Orpheus result). The runner therefore preps the phase kernel; this
+module stays as the measured, tested alternative and the template for
+scaling the flat design down.
 
 Parler specifics vs llama: LayerNorm with bias (6 norm rows), no RoPE
 (learned positional embeddings enter at the embed), MHA (g=1, so flash
