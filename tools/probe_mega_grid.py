@@ -1,5 +1,19 @@
 """Isolate the llama-megastep slowdown: pure weight-streaming grid kernel.
 
+RESOLVED (round 5): the round-4 mystery — the pure stream improving at
+fc=2048 (355 -> 503 GB/s) while the REAL kernel regressed (6.05 -> 7.32
+ms/step) — came down to two interacting effects quantified by
+tools/probe_flat_stream.py and the flat-kernel rebuild (ops/llama_flat):
+(1) with only 1-deep double buffering, finer FFN phases shrink the DMA
+window hidden under the attention phase's long compute, so the real
+kernel's exposed bubble GROWS as phases shrink (the synthetic proxy has
+no attention and only sees the granularity win); (2) per-phase overhead
+is real but small per phase — it only dominates past ~3000 phases (the
+k-sliced flat grid) and is negligible at ~30 (this grid) or ~1000 (the
+shipped fullk flat grid). The fix was neither fc value: the fullk flat
+redesign streams whole-K column tiles with the LM head in-stream and a
+cheap vectorized attention phase (4.04-4.09 ms/step, RTF 3.0).
+
 The single-call dequant matvec runs at ~860 GB/s (probe_dqdot) but the full
 megastep streams weights at only ~340 GB/s. This kernel reproduces the
 megastep's GRID STRUCTURE (grid (L, 3): attn-sized block at p0, two
