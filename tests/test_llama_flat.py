@@ -44,14 +44,17 @@ def test_schedule_invariants():
     assert sid[0] == 0 and sid[-1] == (~att).sum() - 1
 
 
-@pytest.mark.parametrize("ctx,pos", [(128, 41), (1024, 700), (1024, 3)])
-def test_flat_matches_phase_reference(rng, ctx, pos):
-    """ctx=1024 runs 2 flash pages (pick_page -> 512); pos=3 leaves page 1
+@pytest.mark.parametrize("ctx,pos,mode", [
+    (128, 41, "fullk"), (1024, 700, "fullk"), (1024, 3, "fullk"),
+    (128, 41, "whole"), (128, 41, "split")])
+def test_flat_matches_phase_reference(rng, ctx, pos, mode):
+    """All three tile modes (fullk default, k-sliced whole, K-split).
+    ctx=1024 runs 2 flash pages (pick_page -> 512); pos=3 leaves page 1
     dead (clamped index map + skipped compute)."""
     cfg, w = tiny_q4_llama(rng, ctx=ctx)
     mega, qtype = prep_llama_mega(w.layers)
     flat = prep_llama_flat(mega, w.head, w.out_norm, qtype, cfg.vocab_size,
-                           cfg.n_attn_heads, cfg.n_kv_heads, ctx)
+                           cfg.n_attn_heads, cfg.n_kv_heads, ctx, mode=mode)
     L, H, nkv, d = (cfg.n_layers, cfg.hidden_size, cfg.n_kv_heads,
                     cfg.head_size)
     kv = rng.standard_normal((2, L, nkv, ctx, d)).astype(np.float32) * 0.3
