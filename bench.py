@@ -477,8 +477,10 @@ def bench_orpheus() -> dict:
                                        True, 1.0, 50, 1.0, 1.0)
 
         def brun(bst):
+            # all slots request top_k=50 -> the 64-wide pre-select bucket
             bst = batched_llama_decode_chunk(cfg, w, bst, n_steps=32,
-                                             mega=bmega, mega_qtype=bqtype)
+                                             mega=bmega, mega_qtype=bqtype,
+                                             kmax=64)
             int(np.asarray(bst.out_tokens).sum())
             return bst
 

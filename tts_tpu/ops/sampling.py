@@ -153,16 +153,21 @@ nucleus sampling this only clips mass deeper than the top-256 tokens."""
 def sample_batched(key: jax.Array, logits: jax.Array,
                    state: BatchedSamplerState, *, do_sample: jax.Array,
                    temperature: jax.Array, top_k: jax.Array,
-                   top_p: jax.Array, repetition_penalty: jax.Array):
+                   top_p: jax.Array, repetition_penalty: jax.Array,
+                   kmax: int | None = None):
     """logits (B, H, V); all parameters are (B,) arrays (dynamic per
     request, so one compiled program serves mixed-config batches).
 
     Semantics per request match `sample`/`greedy`: greedy rows take the raw
     argmax; sampled rows apply penalty/temperature/top-k/top-p (top-k capped
-    at BATCHED_TOP_K_CAP, see above).
+    at BATCHED_TOP_K_CAP, see above). `kmax` (static) tightens the
+    pre-selection width when the caller knows every active request's top_k
+    fits a smaller bucket — lax.top_k cost on TPU is ~linear in k, and at
+    Orpheus's 157k vocab the k=256 pre-select alone costs ~4 ms/step for
+    8 slots vs ~1 ms at k=64 (tools/probe_batched_parts.py).
     """
     b, h, v = logits.shape
-    kmax = min(BATCHED_TOP_K_CAP, v)
+    kmax = min(kmax or BATCHED_TOP_K_CAP, BATCHED_TOP_K_CAP, v)
     x = logits.astype(jnp.float32)
     # repetition penalty (division of the consecutive last token's logit)
     tok = jnp.arange(v)[None, None, :]

@@ -82,11 +82,11 @@ def _not_done(cfg: OrpheusConfig, st: BatchedLlamaState):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps",
-                                             "mega_qtype"))
+                                             "mega_qtype", "kmax"))
 def batched_llama_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
                                st: BatchedLlamaState, *, n_steps: int,
-                               mega=None,
-                               mega_qtype=None) -> BatchedLlamaState:
+                               mega=None, mega_qtype=None,
+                               kmax=None) -> BatchedLlamaState:
     b = st.pos.shape[0]
     nh, nkv, d = cfg.n_attn_heads, cfg.n_kv_heads, cfg.head_size
     inv = rope_freqs(d, cfg.rope_theta, w.rope_freqs)       # (d//2,)
@@ -155,7 +155,7 @@ def batched_llama_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
             sub, logits[:, None, :], st.sampler_state,
             do_sample=st.do_sample, temperature=st.temperature,
             top_k=st.top_k, top_p=st.top_p,
-            repetition_penalty=st.repetition_penalty)
+            repetition_penalty=st.repetition_penalty, kmax=kmax)
         tok = toks[:, 0]                                    # (B,)
         out = jax.vmap(lambda ob, tb, nb: jax.lax.dynamic_update_slice(
             ob, tb[None], (nb,)))(st.out_tokens, tok, st.n_out)
@@ -322,11 +322,25 @@ class BatchedLlamaEngine:
                         np.asarray(self.state.out_tokens[slot]))
         return None
 
+    def _kmax_bucket(self) -> int:
+        """Static top-k pre-select width for this chunk: 64 when every
+        ACTIVE slot's request fits (top_p untruncated needs the full cap).
+        Two jit specializations max; exact for the requests running."""
+        from ..ops.sampling import BATCHED_TOP_K_CAP
+        tks = np.asarray(self.state.top_k)
+        tps = np.asarray(self.state.top_p)
+        act = np.asarray(self.state.active)
+        if act.any() and bool(((tks[act] > 0) & (tks[act] <= 64)
+                               & (tps[act] >= 1.0)).all()):
+            return 64
+        return BATCHED_TOP_K_CAP
+
     def step(self) -> List[int]:
         """Run one decode chunk; returns newly finished request ids."""
         self.state = batched_llama_decode_chunk(
             self.cfg, self.weights, self.state, n_steps=self.chunk,
-            mega=self.mega, mega_qtype=self.mega_qtype)
+            mega=self.mega, mega_qtype=self.mega_qtype,
+            kmax=self._kmax_bucket())
         done_mask = ~np.asarray(_not_done(self.cfg, self.state))
         finished = []
         for slot in range(self.n_slots):
