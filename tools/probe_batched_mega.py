@@ -45,7 +45,8 @@ def orpheus(B=8):
 
     def run(st):
         st = batched_llama_decode_chunk(cfg, w, st, n_steps=STEPS,
-                                        mega=mega, mega_qtype=qtype)
+                                        mega=mega, mega_qtype=qtype,
+                                        kmax=64)
         int(np.asarray(st.out_tokens).sum())
         return st
 
