@@ -376,8 +376,8 @@ class BatchedDiaEngine:
         chunk; worker-thread only)."""
         for slot, r in enumerate(self.slot_req):
             if r == rid:
-                return (int(np.asarray(self.state.pos[slot])),
-                        np.asarray(self.state.out_tokens[slot]))
+                return (int(np.asarray(self.state.pos)[slot]),
+                        np.asarray(self.state.out_tokens)[slot])
         return None
 
     def step(self) -> List[int]:
@@ -391,8 +391,8 @@ class BatchedDiaEngine:
             rid = self.slot_req[slot]
             if rid is None or not done_mask[slot]:
                 continue
-            n_steps = int(np.asarray(self.state.pos[slot]))
-            out = np.asarray(self.state.out_tokens[slot])
+            n_steps = int(np.asarray(self.state.pos)[slot])
+            out = np.asarray(self.state.out_tokens)[slot]
             self.results[rid] = adjust_output_tokens(out, n_steps, self.cfg)
             self.slot_req[slot] = None
             self.state = self.state._replace(

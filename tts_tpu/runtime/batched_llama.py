@@ -318,8 +318,8 @@ class BatchedLlamaEngine:
         chunk; worker-thread only)."""
         for slot, r in enumerate(self.slot_req):
             if r == rid:
-                return (int(np.asarray(self.state.n_out[slot])),
-                        np.asarray(self.state.out_tokens[slot]))
+                return (int(np.asarray(self.state.n_out)[slot]),
+                        np.asarray(self.state.out_tokens)[slot])
         return None
 
     def _kmax_bucket(self) -> int:
@@ -347,8 +347,8 @@ class BatchedLlamaEngine:
             rid = self.slot_req[slot]
             if rid is None or not done_mask[slot]:
                 continue
-            n_out = int(np.asarray(self.state.n_out[slot]))
-            out = np.asarray(self.state.out_tokens[slot])
+            n_out = int(np.asarray(self.state.n_out)[slot])
+            out = np.asarray(self.state.out_tokens)[slot]
             # the stop token stays in the stream exactly as in the
             # single-stream path; prepare_output_tokens drops the
             # incomplete trailing 7-group it lands in

@@ -320,8 +320,11 @@ class BatchedParlerEngine:
         chunk; worker-thread only)."""
         for slot, r in enumerate(self.slot_req):
             if r == rid:
-                return (int(np.asarray(self.state.step[slot])),
-                        np.asarray(self.state.out_tokens[slot]))
+                # whole-array fetches + numpy indexing: an eager
+                # device-array index costs a relay round trip per call
+                # (and a compile per novel slot index)
+                return (int(np.asarray(self.state.step)[slot]),
+                        np.asarray(self.state.out_tokens)[slot])
         return None
 
     def step(self) -> List[int]:
@@ -337,8 +340,8 @@ class BatchedParlerEngine:
             rid = self.slot_req[slot]
             if rid is None or not done_mask[slot]:
                 continue
-            n_steps = int(np.asarray(self.state.step[slot]))
-            out = np.asarray(self.state.out_tokens[slot])
+            n_steps = int(np.asarray(self.state.step)[slot])
+            out = np.asarray(self.state.out_tokens)[slot]
             self.results[rid] = adjust_output_tokens(out, n_steps, self.cfg)
             self.slot_req[slot] = None
             self.state = self.state._replace(
