@@ -16,21 +16,23 @@ MEASURED (v5e, 2026-08-21, min-of-3 over 32-step scans):
 
 Both gaps exceed 2x, so per the round-5 contract here is the PLAN for
 sharded megastep kernels (not yet implemented):
-  The flat megastep is already Megatron-shardable along its existing
-  tile axis. Column-shard stream A's N-tiles over `tp` (each device owns
-  every matrix's n-tile subset: qkv head-group columns, gate/up columns,
-  LM-head vocab shard) and row-shard stream B (down) on K — exactly the
-  TPLayers layout — then run the SAME flat kernel per device inside
-  shard_map on its local tile arrays with a per-device schedule
-  (build_fullk_schedule over the local N dims), adding one psum after
-  the o/down partial outputs and a final all-gather (or sharded top-k)
-  over the vocab-sharded logits. Attention shards by kv-head groups as
-  in llama_tp (KV cache already head-sharded). Because the kernel's
-  schedule/meta are host-built per shard, no kernel code changes are
-  needed beyond exposing the o/down partial sums as outputs for the
-  psum; estimated per-device rate equals the single-chip flat kernel on
-  1/tp of the bytes, recovering the 2.7-3.1x that the per-projection TP
-  paths currently pay.
+  The Megatron layout maps onto the flat tile axis — column-shard
+  stream A's N-tiles over `tp` (qkv head-group columns, gate/up
+  columns, LM-head vocab shard), row-shard o and down on K, KV cache by
+  kv-head group as in llama_tp, schedules host-built per shard over the
+  local dims. The honest catch: Megatron needs TWO reductions per layer
+  (after the o and down partials), so a sharded whole-stack kernel must
+  either (a) perform the psums IN-KERNEL with Pallas remote DMAs +
+  semaphores (ring all-reduce of the (8, H/2k) partial at each o/down
+  boundary — the collective is tiny, ~100 KB, but this is the real
+  engineering), or (b) split per layer-group and pay kernel-relaunch +
+  exposed-DMA costs at every boundary, or (c) shard ONLY the FFN + LM
+  head (1 psum per layer, attention replicated) and accept ~25%
+  replicated weight traffic. (c) is the pragmatic first step: per-device
+  bytes drop to ~(0.25 + 0.75/tp) of the single-chip stream with one
+  tiny psum per layer riding ICI, and the LM-head shard composes with a
+  sharded top-k. The per-projection TP paths stay as the correctness
+  reference either way.
 """
 from __future__ import annotations
 
