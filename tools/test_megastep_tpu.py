@@ -235,7 +235,7 @@ def perf_llama(ctx=1024):
           f"({gb/per:.0f} GB/s codes, {0.012190/per:.2f}x RT)", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--flat" not in sys.argv:
     print("platform:", jax.devices()[0].platform, flush=True)
     check_small()
     check_batched()
@@ -243,3 +243,117 @@ if __name__ == "__main__":
     perf_full()
     perf_batched()
     perf_llama()
+
+
+def check_flat_kernels():
+    """On-chip parity for the round-5 kernels: llama fullk flat (vs the
+    phase megastep + LM head) and the batched llama/dia megasteps (vs
+    their per-slot XLA references) at small-but-kernel-eligible shapes."""
+    import bench as _b
+    from tts_tpu.common import kv_cache_dtype
+    from tts_tpu.models.orpheus.model import (_rms, maybe_prep_llama_flat,
+                                              maybe_prep_llama_mega)
+    from tts_tpu.ops.llama_flat import LlamaFlatMega, llama_flat_megastep
+    from tts_tpu.ops.llama_megastep import (llama_megastep,
+                                            llama_megastep_batched,
+                                            llama_megastep_batched_reference)
+    from tts_tpu.ops.quant_matmul import quant_matmul
+
+    cfg, w = _b.build_q4_orpheus()
+    w = w._replace(head=w.head.fast_lm_head())
+    flat, fq = maybe_prep_llama_flat(cfg, w, ctx=cfg.max_context_length)
+    assert isinstance(flat, LlamaFlatMega)
+    mega, mq = maybe_prep_llama_mega(cfg, w)
+    dt = kv_cache_dtype()
+    rng = np.random.default_rng(1)
+    shape = (cfg.n_layers, cfg.n_kv_heads, cfg.max_context_length,
+             cfg.head_size)
+    kv_k = jnp.asarray(rng.standard_normal(shape) * 0.3, dt)
+    kv_v = jnp.asarray(rng.standard_normal(shape) * 0.3, dt)
+    x = jnp.asarray(rng.standard_normal((1, cfg.hidden_size)) * 0.5,
+                    jnp.float32)
+    pos = jnp.int32(700)  # page 1: exercises the paged flash fold
+
+    lg, kn, vn = jax.jit(lambda f, x, k, v: llama_flat_megastep(
+        f, x, k, v, pos, qtype=fq, n_heads=cfg.n_attn_heads,
+        n_kv=cfg.n_kv_heads, rope_base=cfg.rope_theta,
+        rope_freq_factors=w.rope_freqs))(flat, x, kv_k, kv_v)
+    xo, kr, vr = jax.jit(lambda m, x, k, v: llama_megastep(
+        m, x, k, v, pos, qtype=mq, n_heads=cfg.n_attn_heads,
+        n_kv=cfg.n_kv_heads, rope_base=cfg.rope_theta,
+        rope_freq_factors=w.rope_freqs))(mega, x, kv_k, kv_v)
+    lg_ref = quant_matmul(_rms(xo, w.out_norm), w.head.codes_t,
+                          w.head.scales_t, w.head.qtype)
+    a = np.asarray(lg)[0, : cfg.vocab_size]
+    b = np.asarray(lg_ref)[0, : cfg.vocab_size]
+    rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+    assert rel < 5e-3, rel
+    assert int(a.argmax()) == int(b.argmax())
+    print(f"llama fullk flat vs phase+head: rel {rel:.2e}, argmax agrees")
+
+    # batched llama vs per-slot reference (positions straddle a page)
+    B = 8
+    bkv = jnp.asarray(rng.standard_normal(
+        (cfg.n_layers, B, cfg.n_kv_heads, 512, cfg.head_size)) * 0.3, dt)
+    bvv = jnp.asarray(rng.standard_normal(bkv.shape) * 0.3, dt)
+    bx = jnp.asarray(rng.standard_normal((B, cfg.hidden_size)) * 0.5,
+                     jnp.float32)
+    bpos = jnp.asarray([5, 100, 255, 256, 300, 13, 400, 509], jnp.int32)
+    xo_k, kn_k, vn_k = llama_megastep_batched(
+        mega, bx, bkv, bvv, bpos, qtype=mq, n_heads=cfg.n_attn_heads,
+        n_kv=cfg.n_kv_heads, rope_base=cfg.rope_theta,
+        rope_freq_factors=w.rope_freqs)
+    xo_r, kn_r, vn_r = llama_megastep_batched_reference(
+        mega, bx, bkv, bvv, bpos, qtype=mq, n_heads=cfg.n_attn_heads,
+        n_kv=cfg.n_kv_heads, rope_base=cfg.rope_theta,
+        rope_freq_factors=w.rope_freqs)
+    for nm, p, q in (("x", xo_k, xo_r), ("k", kn_k, kn_r), ("v", vn_k, vn_r)):
+        r = np.abs(np.asarray(p) - np.asarray(q)).max() / \
+            (np.abs(np.asarray(q)).max() + 1e-9)
+        assert r < 2e-2, (nm, r)
+    print("llama batched megastep vs per-slot reference: OK")
+
+    # batched dia vs per-slot reference (CFG pairs, mixed positions, one
+    # slot straddling a page boundary)
+    from tts_tpu.models.dia.model import maybe_prep_dia_mega
+    from tts_tpu.ops.dia_megastep import (dia_megastep_batched,
+                                          dia_megastep_batched_reference,
+                                          prep_dia_cross)
+    from tts_tpu.models.dia.model import dia_encode
+    dcfg, dw = _b.build_q4_dia()
+    dmega, dq = maybe_prep_dia_mega(dcfg, dw)
+    drng = np.random.default_rng(2)
+    toks = np.zeros((2, dcfg.max_encoder_context_length), np.int32)
+    toks[0, :80] = drng.integers(3, 250, 80)
+    _, dck, dcv = dia_encode(dcfg, dw, jnp.asarray(toks), jnp.int32(80))
+    sb = 256
+    ckb, cvb, vt, ntl = prep_dia_cross(dck, dcv, 80, buckets=(sb,))
+    L2, h2, d2 = (dcfg.n_decoder_layers, dcfg.decoder_attn_heads,
+                  dcfg.head_size)
+    Bd = 4
+    ck4 = jnp.broadcast_to(ckb.reshape(L2, 1, 2, h2, sb, d2),
+                           (L2, Bd, 2, h2, sb, d2))
+    cv4 = jnp.broadcast_to(cvb.reshape(L2, 1, 2, h2, sb, d2),
+                           (L2, Bd, 2, h2, sb, d2))
+    vt4 = jnp.broadcast_to(vt.reshape(L2, 1, 2, h2, d2),
+                           (L2, Bd, 2, h2, d2))
+    dkv = jnp.asarray(drng.standard_normal(
+        (L2, Bd, 2, dcfg.n_kv_heads, 512, d2)) * 0.3, dt)
+    dvv = jnp.asarray(drng.standard_normal(dkv.shape) * 0.3, dt)
+    dx = jnp.asarray(drng.standard_normal((2 * Bd, dcfg.decoder_hidden_size))
+                     * 0.5, jnp.float32)
+    dpos = jnp.asarray([7, 250, 256, 480], jnp.int32)
+    ko_k = dia_megastep_batched(dmega, dx, dkv, dvv, dpos, ck4, cv4, vt4,
+                                ntl, qtype=dq, n_heads=h2,
+                                n_kv=dcfg.n_kv_heads)
+    ko_r = dia_megastep_batched_reference(dmega, dx, dkv, dvv, dpos,
+                                          ck4, cv4, vt4, ntl, qtype=dq,
+                                          n_heads=h2, n_kv=dcfg.n_kv_heads)
+    for nm, p, q in zip("xkv", ko_k, ko_r):
+        r = np.abs(np.asarray(p) - np.asarray(q)).max() /             (np.abs(np.asarray(q)).max() + 1e-9)
+        assert r < 2e-2, (nm, r)
+    print("dia batched megastep vs per-slot reference: OK")
+
+
+if __name__ == "__main__" and "--flat" in sys.argv:
+    check_flat_kernels()

@@ -475,7 +475,8 @@ def dia_megastep_reference(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck, cv,
 # with leading-dim transposes only (no lane/sublane relayouts).
 
 
-def _dia_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
+def _dia_batched_kernel(mp_ref, pos_ref, pos_b_ref, x_ref, inv_ref,
+                        qkv_c, qkv_s,
                         occ_c, occ_s, g_c, g_s, u_c, u_s, d_c, d_s, norms,
                         ck_ref, cv_ref, vtail_ref, kc_ref, vc_ref,
                         x_out, k_out, v_out,
@@ -491,8 +492,10 @@ def _dia_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
     h2d = head_d // 2
 
     def rope_full(y, nh):
-        # NeoX rotation at per-row positions via two lane rolls
-        pos_b = pos_ref[0:rows8].astype(jnp.float32)       # (rows8, 1)
+        # NeoX rotation at per-row positions via two lane rolls; the
+        # per-row positions come as their OWN (2B, 1) input (pos_ref is
+        # head-repeated for the page masks)
+        pos_b = pos_b_ref[:].astype(jnp.float32)           # (rows8, 1)
         ang = pos_b * inv_ref[0:1]                         # (rows8, d/2)
         cosd = jnp.concatenate([jnp.cos(ang)] * 2, axis=1)
         sind = jnp.concatenate([jnp.sin(ang)] * 2, axis=1)
@@ -712,6 +715,7 @@ def _dia_megastep_batched_tpu(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck,
         grid=(L, n_pages + 1 + n_ffn),
         in_specs=[
             pl.BlockSpec((rows8 * n_heads, 1), lambda i, p, s: (0, 0)),
+            pl.BlockSpec((rows8, 1), lambda i, p, s: (0, 0)),
             pl.BlockSpec((rows8, hidden), lambda i, p, s: (0, 0)),
             pl.BlockSpec((1, head_d // 2), lambda i, p, s: (0, 0)),
             pl.BlockSpec((1, hidden // pk, kv_n), at_l),
@@ -758,8 +762,8 @@ def _dia_megastep_batched_tpu(mega: DiaMegaLayers, x, kv_k, kv_v, pos, ck,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(mp_arr, pos_rows.astype(jnp.int32), x.astype(jnp.float32), inv,
-      mega.qkv_codes,
+    )(mp_arr, pos_rows.astype(jnp.int32), pos2[:, None], x.astype(jnp.float32),
+      inv, mega.qkv_codes,
       mega.qkv_scales, mega.occ_codes, mega.occ_scales, mega.gate_codes,
       mega.gate_scales, mega.up_codes, mega.up_scales, mega.down_codes,
       mega.down_scales, mega.norms, ckr, cvr, vtr, kvr, vvr)

@@ -392,7 +392,8 @@ def llama_megastep_reference(mega: LlamaMegaLayers, x, kv_k, kv_v, pos, *,
 # (tools/probe_mosaic3.py).
 
 
-def _llama_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
+def _llama_batched_kernel(mp_ref, pos_ref, pos_b_ref, x_ref, inv_ref,
+                          qkv_c, qkv_s,
                           o_c, o_s, g_c, g_s, u_c, u_s, d_c, d_s, norms,
                           kc_ref, vc_ref, x_out, k_out, v_out,
                           x_scr, h_scr, q_scr, acc_scr, m_scr, l_scr,
@@ -416,7 +417,10 @@ def _llama_batched_kernel(mp_ref, pos_ref, x_ref, inv_ref, qkv_c, qkv_s,
         x = x_scr[:]                                       # (B, H)
         h1 = _rms(x, nm[0:1])
         qkv = _dqdot(h1, qkv_c[0], qkv_s[0], bias)         # (B, H+2KV)
-        pos_b = pos_ref[0:b].astype(jnp.float32)           # (B, 1)
+        # per-slot positions come as their OWN (B, 1) input: pos_ref is
+        # head-repeated (row r -> slot r//n_heads) for the page masks,
+        # so its first B rows are NOT the B slots' positions
+        pos_b = pos_b_ref[:].astype(jnp.float32)           # (B, 1)
         ang = pos_b * inv_ref[0:1]                         # (B, d/2)
         cosd = jnp.concatenate([jnp.cos(ang)] * 2, axis=1)
         sind = jnp.concatenate([jnp.sin(ang)] * 2, axis=1)
@@ -575,6 +579,7 @@ def _llama_megastep_batched_tpu(mega: LlamaMegaLayers, x, kv_k, kv_v, pos,
         grid=(L, n_pages + n_ffn),
         in_specs=[
             pl.BlockSpec((b * n_heads, 1), lambda i, p, mp: (0, 0)),
+            pl.BlockSpec((b, 1), lambda i, p, mp: (0, 0)),
             pl.BlockSpec((b, hidden), lambda i, p, mp: (0, 0)),
             pl.BlockSpec((1, head_d // 2), lambda i, p, mp: (0, 0)),
             pl.BlockSpec((1, hidden // pk, kv_n), at_l),
@@ -618,7 +623,8 @@ def _llama_megastep_batched_tpu(mega: LlamaMegaLayers, x, kv_k, kv_v, pos,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(mp_arr, pos_rows, x.astype(jnp.float32), inv, mega.qkv_codes,
+    )(mp_arr, pos_rows, pos[:, None], x.astype(jnp.float32), inv,
+      mega.qkv_codes,
       mega.qkv_scales.astype(jnp.float32), mega.o_codes, mega.o_scales,
       mega.gate_codes, mega.gate_scales, mega.up_codes, mega.up_scales,
       mega.down_codes, mega.down_scales, mega.norms, kv_k5, kv_v5)
