@@ -463,10 +463,15 @@ def bench_orpheus() -> dict:
         from tts_tpu.runtime.batched_llama import (
             batched_llama_decode_chunk, init_batched_llama_state,
             insert_llama_request)
-        bmega, bqtype = maybe_prep_llama_mega(cfg, w)
         B = 8
         bst = init_batched_llama_state(cfg, B, jax.random.PRNGKey(0))
         bctx = bst.kv_k.shape[3]
+        # flat batched megastep (LM head in-stream), as the 8-slot engine
+        # preps it; maybe_prep falls back to the phase megastep
+        bmega, bqtype = maybe_prep_llama_flat(cfg, w, ctx=bctx, page=256)
+        if bmega is None:
+            bmega, bqtype = maybe_prep_llama_mega(cfg, w)
+        out["orpheus_batched_flat"] = type(bmega).__name__ == "LlamaFlatMega"
         bshape = (cfg.n_layers, cfg.n_kv_heads, bctx, cfg.head_size)
         lg0, bk, bv = orpheus_prefill(cfg, w, tokens, jnp.int32(64),
                                       jnp.zeros(bshape, dt),

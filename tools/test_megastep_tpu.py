@@ -354,6 +354,77 @@ def check_flat_kernels():
         assert r < 2e-2, (nm, r)
     print("dia batched megastep vs per-slot reference: OK")
 
+    # batched FLAT llama (B slots on the sublane rows, LM head in-stream)
+    # vs the same per-slot reference + head matmul
+    from tts_tpu.ops.llama_flat import llama_flat_megastep_batched
+    bflat, bfq = maybe_prep_llama_flat(cfg, w, ctx=512, page=256)
+    assert isinstance(bflat, LlamaFlatMega) and bflat.psz == 256
+    lg_b, kn_b, vn_b = llama_flat_megastep_batched(
+        bflat, bx, bkv, bvv, bpos, qtype=bfq, n_heads=cfg.n_attn_heads,
+        n_kv=cfg.n_kv_heads, rope_base=cfg.rope_theta,
+        rope_freq_factors=w.rope_freqs)
+    lg_br = quant_matmul(_rms(xo_r, w.out_norm), w.head.codes_t,
+                         w.head.scales_t, w.head.qtype)
+    a = np.asarray(lg_b)[:, : cfg.vocab_size]
+    b2 = np.asarray(lg_br)[:, : cfg.vocab_size]
+    agree = sum(int(a[s].argmax()) == int(b2[s].argmax()) for s in range(B))
+    for s in range(B):
+        r = np.abs(a[s] - b2[s]).max() / (np.abs(b2[s]).max() + 1e-9)
+        assert r < 2e-2, (s, r)
+    for nm, p, q in (("k", kn_b, kn_r), ("v", vn_b, vn_r)):
+        r = np.abs(np.asarray(p) - np.asarray(q)).max() / \
+            (np.abs(np.asarray(q)).max() + 1e-9)
+        assert r < 2e-2, (nm, r)
+    print(f"llama batched FLAT vs per-slot reference: OK "
+          f"(argmax agrees {agree}/{B})")
+
+
+def perf_flat_batched(b=8, ctx=512, pos0=64, steps=64):
+    """ms/step for the batched flat llama kernel at full Orpheus scale."""
+    import bench as _b
+    from tts_tpu.common import kv_cache_dtype
+    from tts_tpu.models.orpheus.model import maybe_prep_llama_flat
+    from tts_tpu.ops.llama_flat import LlamaFlatMega, \
+        llama_flat_megastep_batched
+
+    cfg, w = _b.build_q4_orpheus()
+    w = w._replace(head=w.head.fast_lm_head())
+    flat, fq = maybe_prep_llama_flat(cfg, w, ctx=ctx, page=256)
+    assert isinstance(flat, LlamaFlatMega)
+    dt = kv_cache_dtype()
+    rng = np.random.default_rng(3)
+    shape = (cfg.n_layers, b, cfg.n_kv_heads, ctx, cfg.head_size)
+    kv_k = jnp.asarray(rng.standard_normal(shape) * 0.3, dt)
+    kv_v = jnp.asarray(rng.standard_normal(shape) * 0.3, dt)
+    x = jnp.asarray(rng.standard_normal((b, cfg.hidden_size)) * 0.5,
+                    jnp.float32)
+    pos = jnp.full((b,), pos0, jnp.int32)
+
+    @jax.jit
+    def run(x, flat, kv_k, kv_v):
+        def step(carry, i):
+            xc, p = carry
+            lg, kn, vn = llama_flat_megastep_batched(
+                flat, xc, kv_k, kv_v, p, qtype=fq,
+                n_heads=cfg.n_attn_heads, n_kv=cfg.n_kv_heads,
+                rope_base=cfg.rope_theta, rope_freq_factors=w.rope_freqs)
+            return (jnp.tanh(lg[:, :cfg.hidden_size]) + xc * 0.1, p + 1), ()
+        (xc, _), _ = jax.lax.scan(step, (x, pos), jnp.arange(steps))
+        return xc
+
+    run(x, flat, kv_k, kv_v).block_until_ready()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(x, flat, kv_k, kv_v).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / steps)
+    print(f"batched FLAT llama B={b} ctx={ctx} pos0={pos0}: "
+          f"{best*1e3:.3f} ms/step", flush=True)
+    return best
+
 
 if __name__ == "__main__" and "--flat" in sys.argv:
     check_flat_kernels()
+    if "--perf" in sys.argv:
+        perf_flat_batched()
+        perf_flat_batched(pos0=448)

@@ -236,13 +236,15 @@ def cache_ctx(cfg: OrpheusConfig) -> int:
 
 
 def maybe_prep_llama_flat(cfg: OrpheusConfig, w: OrpheusWeights,
-                          ctx: int | None = None):
+                          ctx: int | None = None,
+                          page: int | None = None):
     """Prefer the flat-tile megastep (ops/llama_flat: whole stack + LM head
     in one fine-grained weight stream); fall back to the phase megastep,
     then to the per-matmul path. Returns (mega_or_flat_or_None, qtype).
 
     `ctx` is the KV-cache context the decode will run with (defaults to
-    the runner's padded prompt+generation window)."""
+    the runner's padded prompt+generation window); `page` overrides the
+    flash page size (the batched engine uses its 256-row KV pages)."""
     mega, qtype = maybe_prep_llama_mega(cfg, w)
     if mega is None:
         return None, None
@@ -251,7 +253,8 @@ def maybe_prep_llama_flat(cfg: OrpheusConfig, w: OrpheusWeights,
         flat = prep_llama_flat(mega, w.head, w.out_norm, qtype,
                                cfg.vocab_size, cfg.n_attn_heads,
                                cfg.n_kv_heads,
-                               cache_ctx(cfg) if ctx is None else ctx)
+                               cache_ctx(cfg) if ctx is None else ctx,
+                               page=page)
         return flat, qtype
     except ValueError:
         return mega, qtype

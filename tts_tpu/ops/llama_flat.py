@@ -256,12 +256,17 @@ def _layer_tiles_whole(codes_t, scales_t, kk: int, tn: int, pack: bool):
 
 def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
                     n_heads: int, n_kv: int, ctx: int,
-                    mode: str = "fullk") -> LlamaFlatMega:
+                    mode: str = "fullk",
+                    page: int | None = None) -> LlamaFlatMega:
     """Build the flat stream from LlamaMegaLayers + the LM head QuantTensor.
 
     `ctx` is the KV-cache context length the decode will run with (pages
-    are baked into the schedule). Raises ValueError when shapes don't
-    admit a uniform tile (caller keeps the phase megastep)."""
+    are baked into the schedule); `page` overrides the flash page size
+    (the batched kernel prefers 256-row pages: its page blocks carry all
+    B slots, so a 512-row page's (B, n_kv, 512, d) block + the
+    (B*nh, B*nkv*512) score intermediate would crowd VMEM). Raises
+    ValueError when shapes don't admit a uniform tile (caller keeps the
+    phase megastep)."""
     from .quant_matmul import QuantTensor
     if not isinstance(head, QuantTensor) or head.qtype != qtype:
         raise ValueError("flat megastep needs a QuantTensor LM head of the "
@@ -277,7 +282,9 @@ def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
         raise ValueError(f"no uniform tile for H={hidden} KVN={kvn} F={ffn}")
     pack = qtype == quants.GGML_TYPE_Q4_0
     vocab_pad = -(-vocab // tn) * tn
-    psz = pick_page(ctx)
+    psz = page if page is not None else pick_page(ctx)
+    if ctx % psz:
+        raise ValueError(f"ctx {ctx} not a multiple of page {psz}")
     if mode == "fullk":
         from .quant_matmul import can_pack
         if pack and not (can_pack(hidden) and can_pack(ffn)):
@@ -359,11 +366,16 @@ def prep_llama_flat(mega, head, out_norm, qtype: int, vocab: int,
                          split=split)
 
 
-def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
+def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, pos_b_ref, posr_ref,
+                 c0_ref, s0_ref, c1_ref,
                  s1_ref, nm_ref, onm_ref, kc_ref, vc_ref, lg_ref, ko_ref,
                  vo_ref, x_scr, h_scr, qkv_scr, attn_scr, q_scr, m_scr,
                  l_scr, acc_scr, up_scr, gate_scr, *, n_heads, n_kv, hidden,
-                 head_d, bias, kk, tn, ffn, psz, split, fullk):
+                 head_d, bias, kk, tn, ffn, psz, split, fullk, nb, batched):
+    # nb = sublane rows: 8 replicas of one activation (single-stream) or
+    # nb DISTINCT batch slots (batched); pos_ref[0] = max live position
+    # (page skip / index-map clamp), pos_b_ref (nb, 1) per-row positions
+    # (RoPE), posr_ref (rows, 1) per-attention-row positions (page masks).
     t = pl.program_id(0)
     role = meta_ref[M_ROLE, t]
     kidx = meta_ref[M_K0, t]
@@ -419,11 +431,13 @@ def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
         @pl.when(kidx == 0)
         def _():
             # rope the current token, emit its K/V rows, and initialize
-            # the flash state from it: m = s_cur, l = 1, acc = v_cur
-            ang = pos.astype(jnp.float32) * inv_ref[0:1]        # (1, d/2)
-            cos = jnp.broadcast_to(jnp.cos(ang), (8, head_d // 2))
-            sin = jnp.broadcast_to(jnp.sin(ang), (8, head_d // 2))
-            cosd = jnp.concatenate([cos, cos], axis=1)          # (8, d)
+            # the flash state from it: m = s_cur, l = 1, acc = v_cur.
+            # Per-row positions (identical rows single-stream, per-slot
+            # when batched) arrive as their own (nb, 1) input.
+            ang = pos_b_ref[:].astype(jnp.float32) * inv_ref[0:1]
+            cos = jnp.cos(ang)                                  # (nb, d/2)
+            sin = jnp.sin(ang)
+            cosd = jnp.concatenate([cos, cos], axis=1)          # (nb, d)
             sind = jnp.concatenate([sin, sin], axis=1)
             h2d = head_d // 2
 
@@ -448,20 +462,21 @@ def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
                 # reshape-128 path (measured: 128-lane splits/merges are
                 # the ONLY cheap layout moves; 4D transposes run at
                 # ~0.15 GB/s and per-head loops serialize): rows become
-                # (replica r, query head h) r-major via one free reshape
-                q4 = (qrow * scale).reshape(8 * n_heads, head_d)
+                # (replica/slot r, query head h) r-major via one free
+                # reshape
+                q4 = (qrow * scale).reshape(nb * n_heads, head_d)
                 krep = jnp.concatenate(
                     [k_row[:, j * head_d:(j + 1) * head_d]
                      for j in range(n_kv) for _ in range(g)], axis=1)
                 vrep = jnp.concatenate(
                     [v_row[:, j * head_d:(j + 1) * head_d]
                      for j in range(n_kv) for _ in range(g)], axis=1)
-                k4 = krep.reshape(8 * n_heads, head_d)
-                v4 = vrep.reshape(8 * n_heads, head_d)
+                k4 = krep.reshape(nb * n_heads, head_d)
+                v4 = vrep.reshape(nb * n_heads, head_d)
                 q_scr[:] = q4
                 s_cur = jnp.sum(q4 * k4, axis=1, keepdims=True)
-                m_scr[:] = jnp.broadcast_to(s_cur, (8 * n_heads, head_d))
-                l_scr[:] = jnp.ones((8 * n_heads, head_d), jnp.float32)
+                m_scr[:] = jnp.broadcast_to(s_cur, (nb * n_heads, head_d))
+                l_scr[:] = jnp.ones((nb * n_heads, head_d), jnp.float32)
                 acc_scr[:] = v4
             else:
                 riota = jax.lax.broadcasted_iota(jnp.int32, (8, head_d), 0)
@@ -487,37 +502,56 @@ def _flat_kernel(meta_ref, pos_ref, x_ref, inv_ref, c0_ref, s0_ref, c1_ref,
         @pl.when(kidx * psz < pos)
         def _():
             rows = q_scr.shape[0]
-            cols = n_kv * psz
-            q_all = q_scr[:]
-            k2 = kc_ref[0].reshape(cols, head_d).astype(jnp.float32)
+            if batched:
+                # each slot reads its OWN KV pages: the page block carries
+                # all nb slots' page kidx ((nb, n_kv, psz, d) r-major), the
+                # mask pairs row-slot with col-slot, and dots run bf16 (the
+                # TPU cache dtype) as in ops/llama_megastep's batched phase
+                # kernel
+                cols = nb * n_kv * psz
+                q_all = q_scr[:].astype(jnp.bfloat16)
+                k2 = kc_ref[:].reshape(cols, head_d).astype(jnp.bfloat16)
+                v2 = vc_ref[:].reshape(cols, head_d).astype(jnp.bfloat16)
+            else:
+                cols = n_kv * psz
+                q_all = q_scr[:]
+                k2 = kc_ref[0].reshape(cols, head_d).astype(jnp.float32)
+                v2 = vc_ref[0].reshape(cols, head_d).astype(jnp.float32)
             s = jax.lax.dot_general(
                 q_all, k2, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)             # (rows, cols)
             ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-            if head_d % 128 == 0:
-                row_kv = (ri % n_heads) // g    # r-major (replica, head)
+            if batched:
+                valid = ((ri // n_heads) == (ci // (n_kv * psz))) & \
+                    (((ri % n_heads) // g) == ((ci // psz) % n_kv)) & \
+                    ((kidx * psz + (ci % psz)) < posr_ref[:])
             else:
-                row_kv = ri // 8                # h-major groups of 8
-            valid = (row_kv == (ci // psz)) & \
-                ((kidx * psz + (ci % psz)) < pos)
+                if head_d % 128 == 0:
+                    row_kv = (ri % n_heads) // g  # r-major (replica, head)
+                else:
+                    row_kv = ri // 8              # h-major groups of 8
+                valid = (row_kv == (ci // psz)) & \
+                    ((kidx * psz + (ci % psz)) < posr_ref[:])
             s = jnp.where(valid, s, -jnp.inf)
             m_old = m_scr[:, 0:1]
             m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
             corr = jnp.exp(m_old - m_new)
             pe = jnp.exp(s - m_new)   # masked cols are exactly 0
-            v2 = vc_ref[0].reshape(cols, head_d).astype(jnp.float32)
+            if batched:
+                pe = pe.astype(jnp.bfloat16)
             av = jax.lax.dot_general(
                 pe, v2, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc_scr[:] = acc_scr[:] * corr + av
-            l_scr[:] = l_scr[:] * corr + jnp.sum(pe, axis=1, keepdims=True)
+            l_scr[:] = l_scr[:] * corr + jnp.sum(
+                pe.astype(jnp.float32), axis=1, keepdims=True)
             m_scr[:] = jnp.broadcast_to(m_new, (rows, head_d))
 
     @pl.when(role == R_ATTF)
     def _():
         if head_d % 128 == 0:
-            attn_scr[:] = (acc_scr[:] / l_scr[:]).reshape(8, hidden)
+            attn_scr[:] = (acc_scr[:] / l_scr[:]).reshape(nb, hidden)
         else:
             ciota = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
             outs = []
@@ -626,6 +660,8 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
         in_specs=[
             pl.BlockSpec((8, hidden), lambda t, m, p: (0, 0)),
             pl.BlockSpec((1, head_d // 2), lambda t, m, p: (0, 0)),
+            pl.BlockSpec((8, 1), lambda t, m, p: (0, 0)),
+            pl.BlockSpec((arow, 1), lambda t, m, p: (0, 0)),
             pl.BlockSpec((1, flat.codes0.shape[1], tn), cmap),
             pl.BlockSpec((1, flat.scales0.shape[1], tn), cmap),
             pl.BlockSpec((1, flat.codes1.shape[1], tn),
@@ -657,11 +693,14 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
             pltpu.VMEM((8, ffn), jnp.float32),          # gate -> activation
         ],
     )
+    pos_b = jnp.broadcast_to(pos_arr.reshape(1, 1), (8, 1))
+    posr = jnp.broadcast_to(pos_arr.reshape(1, 1), (arow, 1))
     logits, k_new, v_new = pl.pallas_call(
         functools.partial(_flat_kernel, n_heads=n_heads, n_kv=n_kv,
                           hidden=hidden, head_d=head_d, bias=_BIAS[qtype],
                           kk=kkq, tn=tn, ffn=ffn, psz=psz,
-                          split=flat.split, fullk=flat.fullk),
+                          split=flat.split, fullk=flat.fullk, nb=8,
+                          batched=False),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, vocab_pad), jnp.float32),
@@ -671,6 +710,125 @@ def llama_flat_megastep(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(flat.meta, pos_arr, x8, inv, flat.codes0, flat.scales0, flat.codes1,
-      flat.scales1, flat.norms, flat.out_norm, kv_k, kv_v)
+    )(flat.meta, pos_arr, x8, inv, pos_b, posr, flat.codes0, flat.scales0,
+      flat.codes1, flat.scales1, flat.norms, flat.out_norm, kv_k, kv_v)
     return logits[:1], k_new[:, 0, :], v_new[:, 0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("qtype", "n_heads", "n_kv",
+                                             "rope_base", "interpret"))
+def llama_flat_megastep_batched(flat: LlamaFlatMega, x, kv_k, kv_v, pos, *,
+                                qtype: int, n_heads: int, n_kv: int,
+                                rope_base: float, rope_freq_factors=None,
+                                interpret: bool = False):
+    """Batched flat megastep: B distinct slots ride the sublane rows the
+    single-stream kernel spends on replicas, so the whole 1.86 GB/step
+    weight stream — LM head included — is read ONCE for all B slots.
+
+    x (B, H) f32 — one row per slot; kv_k/kv_v (L, B, n_kv, CTX, D); pos
+    (B,) int32 per-slot cache rows. Returns (logits (B, vocab_pad) f32,
+    k_new (L, B, KV), v_new (L, B, KV)); the caller writes each slot's
+    cache row at pos[slot] and samples per slot. Weight phases are
+    IDENTICAL to the single-stream kernel (same tiles, same schedule);
+    only RoPE, the KV page blocks ((B, n_kv, psz, d) per page), and the
+    page masks become per-slot. Requires B % 8 == 0 (f32 sublane rows)
+    and head_d % 128 == 0 (the reshape-128 attention layout). Replaces
+    the reference's full-model-replica scaling for Orpheus
+    (/root/reference/examples/server/server.cpp:885-897)."""
+    from .attention import rope_freqs
+    b = x.shape[0]
+    vocab_pad, ffn, psz = flat.vocab_pad, flat.ffn, flat.psz
+    L = flat.norms.shape[0]
+    hidden = flat.norms.shape[2]
+    T = flat.meta.shape[1]
+    tn = flat.codes0.shape[2]
+    kkq = flat.kk
+    head_d = hidden // n_heads
+    kvh = n_kv * head_d
+    kvn_dim = hidden + 2 * kvh
+    ctx = kv_k.shape[3]
+    assert b % 8 == 0 and head_d % 128 == 0, (b, head_d)
+    assert ctx % psz == 0 and ctx // psz >= 1, (ctx, psz)
+    arow = b * n_heads
+    inv = rope_freqs(head_d, rope_base, rope_freq_factors).reshape(1, -1)
+    pos = jnp.asarray(pos, jnp.int32)
+    pos_arr = jnp.max(pos).reshape(1)
+    pos_b = pos[:, None]
+    posr = jnp.repeat(pos, n_heads)[:, None]        # r-major (slot, head)
+    kv_k5 = kv_k.reshape(L * b, kv_k.shape[2], ctx, head_d)
+    kv_v5 = kv_v.reshape(L * b, kv_v.shape[2], ctx, head_d)
+
+    def cmap(t, m, p):
+        return (m[M_SID, t], 0, 0)
+
+    def c2map(t, m, p):
+        return (m[M_SID2, t], 0, 0)
+
+    def nmmap(t, m, p):
+        return (m[M_LAYER, t], 0, 0)
+
+    def kvmap(t, m, p):
+        page = jnp.minimum(m[M_PG, t], jnp.maximum(p[0] - 1, 0) // psz)
+        return (m[M_LAYER, t], 0, page, 0)
+
+    def lgmap(t, m, p):
+        return (0, m[M_OUTN, t])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((b, hidden), lambda t, m, p: (0, 0)),
+            pl.BlockSpec((1, head_d // 2), lambda t, m, p: (0, 0)),
+            pl.BlockSpec((b, 1), lambda t, m, p: (0, 0)),
+            pl.BlockSpec((arow, 1), lambda t, m, p: (0, 0)),
+            pl.BlockSpec((1, flat.codes0.shape[1], tn), cmap),
+            pl.BlockSpec((1, flat.scales0.shape[1], tn), cmap),
+            pl.BlockSpec((1, flat.codes1.shape[1], tn),
+                         c2map if flat.fullk else cmap if flat.split else
+                         (lambda t, m, p: (0, 0, 0))),
+            pl.BlockSpec((1, flat.scales1.shape[1], tn),
+                         c2map if flat.fullk else cmap if flat.split else
+                         (lambda t, m, p: (0, 0, 0))),
+            pl.BlockSpec((1, 2, hidden), nmmap),
+            pl.BlockSpec((1, hidden), lambda t, m, p: (0, 0)),
+            pl.BlockSpec((b, n_kv, psz, head_d), kvmap),
+            pl.BlockSpec((b, n_kv, psz, head_d), kvmap),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, tn), lgmap),
+            pl.BlockSpec((1, b, kvh), nmmap),
+            pl.BlockSpec((1, b, kvh), nmmap),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),       # x residual
+            pltpu.VMEM((b, hidden), jnp.float32),       # h (rms'd input)
+            pltpu.VMEM((b, kvn_dim), jnp.float32),      # qkv accumulator
+            pltpu.VMEM((b, hidden), jnp.float32),       # attention out
+            pltpu.VMEM((arow, head_d), jnp.float32),    # q rows
+            pltpu.VMEM((arow, head_d), jnp.float32),    # flash m
+            pltpu.VMEM((arow, head_d), jnp.float32),    # flash l
+            pltpu.VMEM((arow, head_d), jnp.float32),    # flash acc
+            pltpu.VMEM((b, ffn), jnp.float32),          # up accumulator
+            pltpu.VMEM((b, ffn), jnp.float32),          # gate -> activation
+        ],
+    )
+    logits, k_new, v_new = pl.pallas_call(
+        functools.partial(_flat_kernel, n_heads=n_heads, n_kv=n_kv,
+                          hidden=hidden, head_d=head_d, bias=_BIAS[qtype],
+                          kk=kkq, tn=tn, ffn=ffn, psz=psz,
+                          split=flat.split, fullk=flat.fullk, nb=b,
+                          batched=True),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, vocab_pad), jnp.float32),
+            jax.ShapeDtypeStruct((L, b, kvh), jnp.float32),
+            jax.ShapeDtypeStruct((L, b, kvh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(flat.meta, pos_arr, x.astype(jnp.float32), inv, pos_b, posr,
+      flat.codes0, flat.scales0, flat.codes1, flat.scales1, flat.norms,
+      flat.out_norm, kv_k5, kv_v5)
+    return logits, k_new, v_new

@@ -303,7 +303,13 @@ class BatchedDiaEngine:
         self.n_tail = cfg.max_encoder_context_length - self.cross_bucket
         from ..models.dia.model import maybe_prep_dia_mega
         self.mega, self.mega_qtype = maybe_prep_dia_mega(cfg, weights)
-        self.state = init_batched_dia_state(cfg, n_slots,
+        # the batched megakernel needs 2B % 8 == 0 (each slot is a CFG
+        # pair on two sublane rows): pad the compiled batch to a multiple
+        # of 4 slots when the kernel is available (padded slots stay
+        # inactive; n_slots governs admission)
+        b_state = (-(-n_slots // 4) * 4 if self.mega is not None
+                   else n_slots)
+        self.state = init_batched_dia_state(cfg, b_state,
                                             jax.random.PRNGKey(seed),
                                             cross_bucket=self.cross_bucket)
         self.slot_req: List[Optional[int]] = [None] * n_slots

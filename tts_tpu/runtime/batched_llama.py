@@ -95,14 +95,27 @@ def batched_llama_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
         cont = _not_done(cfg, st)
         x = take_rows(w.embd, st.token_in)                  # (B, H)
 
+        lg = None
         if mega is not None:
             # batched megakernel: ONE weight read serves every slot
+            from ..ops.llama_flat import (LlamaFlatMega,
+                                          llama_flat_megastep_batched)
             from ..ops.llama_megastep import llama_megastep_batched
             L = cfg.n_layers
-            xo, kn, vn = llama_megastep_batched(
-                mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
-                n_heads=nh, n_kv=nkv, rope_base=cfg.rope_theta,
-                rope_freq_factors=w.rope_freqs)
+            if isinstance(mega, LlamaFlatMega):
+                # flat-tile batched kernel: the LM head rides the stream,
+                # so logits come straight out and the separate (B, vocab)
+                # head matmul below disappears
+                lg, kn, vn = llama_flat_megastep_batched(
+                    mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
+                    n_heads=nh, n_kv=nkv, rope_base=cfg.rope_theta,
+                    rope_freq_factors=w.rope_freqs,
+                    interpret=jax.devices()[0].platform != "tpu")
+            else:
+                xo, kn, vn = llama_megastep_batched(
+                    mega, x, st.kv_k, st.kv_v, st.pos, qtype=mega_qtype,
+                    n_heads=nh, n_kv=nkv, rope_base=cfg.rope_theta,
+                    rope_freq_factors=w.rope_freqs)
             kv_k, kv_v = st.kv_k, st.kv_v
             for s in range(b):
                 kv_k = jax.lax.dynamic_update_slice(
@@ -111,7 +124,8 @@ def batched_llama_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
                 kv_v = jax.lax.dynamic_update_slice(
                     kv_v, vn[:, s].reshape(L, 1, nkv, 1, d)
                     .astype(kv_v.dtype), (0, s, 0, st.pos[s], 0))
-            h = _rms(xo, w.out_norm)
+            if lg is None:
+                h = _rms(xo, w.out_norm)
         else:
             ang = st.pos[:, None].astype(jnp.float32) * inv[None, :]
             cos = jnp.cos(ang)[:, None, :]                  # (B, 1, d/2)
@@ -149,7 +163,8 @@ def batched_llama_decode_chunk(cfg: OrpheusConfig, w: OrpheusWeights,
             x, (kv_k, kv_v) = jax.lax.scan(layer, x,
                                            (w.layers, st.kv_k, st.kv_v))
             h = _rms(x, w.out_norm)
-        logits = matmul(h, w.head)[:, : cfg.vocab_size]     # (B, vocab)
+        logits = (lg if lg is not None
+                  else matmul(h, w.head))[:, : cfg.vocab_size]  # (B, vocab)
         key, sub = jax.random.split(st.key)
         toks, s_state = sampling.sample_batched(
             sub, logits[:, None, :], st.sampler_state,
@@ -232,9 +247,26 @@ class BatchedLlamaEngine:
         self.n_slots = n_slots
         self.chunk = chunk
         self.prompt_buckets = prompt_buckets
-        from ..models.orpheus.model import maybe_prep_llama_mega
-        self.mega, self.mega_qtype = maybe_prep_llama_mega(cfg, weights)
-        self.state = init_batched_llama_state(cfg, n_slots,
+        from ..models.orpheus.model import (maybe_prep_llama_flat,
+                                            maybe_prep_llama_mega)
+        if cfg.head_size % 128 == 0:
+            # flat-tile batched megastep: B slots on the sublane rows, the
+            # whole weight stream (LM head included) read once per step.
+            # ctx/page must match init_batched_llama_state's 256-row pages.
+            ctx = -(-(cfg.max_context_length + cfg.max_generation_size)
+                    // 256) * 256
+            self.mega, self.mega_qtype = maybe_prep_llama_flat(
+                cfg, weights, ctx=ctx, page=256)
+        else:
+            self.mega, self.mega_qtype = maybe_prep_llama_mega(cfg, weights)
+        # the batched kernels put slots on the 8 f32 sublane rows, so the
+        # compiled batch pads up to a multiple of 8 when a megakernel is
+        # available (padded slots stay inactive: they add no weight
+        # traffic, and n_slots still governs admission); without a kernel
+        # (CPU tests) the state stays exactly n_slots wide
+        b_state = (-(-n_slots // 8) * 8 if self.mega is not None
+                   else n_slots)
+        self.state = init_batched_llama_state(cfg, b_state,
                                               jax.random.PRNGKey(seed))
         self.slot_req: List[Optional[int]] = [None] * n_slots
         self.pending: List[tuple] = []

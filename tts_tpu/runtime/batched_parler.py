@@ -252,7 +252,13 @@ class BatchedParlerEngine:
         self.prompt_buckets = prompt_buckets
         from ..models.parler.model import maybe_prep_mega
         self.mega, self.mega_qtype = maybe_prep_mega(cfg, weights)
-        self.state = init_batched_state(cfg, n_slots, jax.random.PRNGKey(seed))
+        # the batched megakernel puts slots on the 8 f32 sublane rows: pad
+        # the compiled batch to a multiple of 8 when the kernel is
+        # available so any --batch-slots value rides it (padded slots stay
+        # inactive and add no weight traffic; n_slots governs admission)
+        b_state = (-(-n_slots // 8) * 8 if self.mega is not None
+                   else n_slots)
+        self.state = init_batched_state(cfg, b_state, jax.random.PRNGKey(seed))
         self.slot_req: List[Optional[int]] = [None] * n_slots
         self.pending: List[tuple] = []
         self.results: Dict[int, np.ndarray] = {}
