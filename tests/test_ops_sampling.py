@@ -99,3 +99,27 @@ def test_jittable_with_static_config():
         repetition_penalty=1.1))
     toks, st2 = f(jax.random.PRNGKey(0), logits, st)
     assert toks.shape == (9,)
+
+
+def test_top_k_tiled_matches_lax_top_k():
+    """Hierarchical exact top-k == lax.top_k (values and, absent ties,
+    indices) on large vocabs, incl. the padded tail and batched shapes."""
+    from tts_tpu.ops.sampling import top_k_tiled
+    rng = np.random.default_rng(0)
+    for shape in ((3, 20000), (2, 1, 17000)):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        for k in (1, 50, 64, 256):
+            v_t, i_t = top_k_tiled(x, k)
+            v_r, i_r = jax.lax.top_k(x, k)
+            np.testing.assert_allclose(np.asarray(v_t), np.asarray(v_r))
+            np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_r))
+    # -inf pad never leaks in: top-k of the padded tail region
+    x = jnp.full((1, 16500), -1e30)
+    x = x.at[0, 16499].set(5.0).at[0, 16384].set(4.0)
+    v_t, i_t = top_k_tiled(x, 2)
+    assert np.asarray(i_t).tolist() == [[16499, 16384]]
+    # small-v and k > tiles fall back to lax.top_k
+    x = jnp.asarray(rng.standard_normal((2, 500)).astype(np.float32))
+    v_t, i_t = top_k_tiled(x, 10)
+    v_r, i_r = jax.lax.top_k(x, 10)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_r))

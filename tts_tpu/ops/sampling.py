@@ -58,6 +58,45 @@ def greedy(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+# `lax.top_k` cost on TPU grows with BOTH v and k (a masked-max sweep per
+# rank); at Orpheus's 157k vocab a direct k=64 top_k costs ~1 ms/step for
+# 8 slots — comparable to the whole megakernel's attention. Hierarchical
+# EXACT top-k instead: per-tile max (one bandwidth-bound sweep) -> top-k
+# over the ~1200 tile maxima -> top-k over only the k winning tiles'
+# elements (k*tile candidates, ~19x fewer lanes than v). Exact because the
+# true top-k elements occupy at most k tiles, and any tile containing one
+# has tile-max >= the k-th value, so the k tiles ranked by max cover them
+# all. Tie ORDER among equal values can differ from direct lax.top_k
+# (tiles are ranked by max, not element index) — the selected SET and the
+# sampling distribution are identical.
+_TOPK_TILE = 128
+_TOPK_MIN_V = 16384
+
+
+def top_k_tiled(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact (values, indices) top-k over the last axis, descending.
+
+    Drop-in for jax.lax.top_k; dispatches to it below _TOPK_MIN_V lanes
+    (the hierarchy only pays off when v >> k * tile)."""
+    v = x.shape[-1]
+    t = -(-v // _TOPK_TILE)
+    if v < _TOPK_MIN_V or k > t:
+        return jax.lax.top_k(x, k)
+    pad = t * _TOPK_TILE - v
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],
+                    constant_values=-jnp.inf)
+    xt = x.reshape(*x.shape[:-1], t, _TOPK_TILE)
+    tmax = jnp.max(xt, axis=-1)                            # (..., t)
+    _, ti = jax.lax.top_k(tmax, k)                         # winning tiles
+    cand = jnp.take_along_axis(xt, ti[..., None], axis=-2)  # (..., k, tile)
+    flat = cand.reshape(*cand.shape[:-2], k * _TOPK_TILE)
+    vals, i2 = jax.lax.top_k(flat, k)
+    idx = (jnp.take_along_axis(ti, i2 // _TOPK_TILE, axis=-1) * _TOPK_TILE
+           + i2 % _TOPK_TILE)
+    return vals, idx
+
+
 def sample(key: jax.Array, logits: jax.Array, state: SamplerState,
            temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
            repetition_penalty: float = 1.0) -> tuple[jax.Array, SamplerState]:
@@ -80,7 +119,7 @@ def sample(key: jax.Array, logits: jax.Array, state: SamplerState,
         # their full-softmax probabilities need just the global logsumexp.
         # Semantics identical to the sorted-full-vocab path below (including
         # the overflow-mass-on-last-pick behavior, sampler.cpp:139-169).
-        topv, order = jax.lax.top_k(x, top_k)              # (H, k) desc
+        topv, order = top_k_tiled(x, top_k)                # (H, k) desc
         lse = jax.nn.logsumexp(x, axis=-1, keepdims=True)  # full-vocab Z
         sorted_p = jnp.exp(topv - lse)                     # true softmax mass
         keep = jnp.ones((h, top_k), bool)
@@ -177,7 +216,7 @@ def sample_batched(key: jax.Array, logits: jax.Array,
                     jnp.where(hit, x / factor[:, :, None], x), x)
     temp = jnp.maximum(temperature, 1e-6)[:, None, None]
     scaled = pen / temp
-    topv, order = jax.lax.top_k(scaled, kmax)              # (B, H, kmax) desc
+    topv, order = top_k_tiled(scaled, kmax)                # (B, H, kmax) desc
     lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
     sorted_p = jnp.exp(topv - lse)                          # full-softmax mass
     j = jnp.arange(kmax)[None, None, :]
