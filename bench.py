@@ -463,6 +463,8 @@ def bench_orpheus() -> dict:
         from tts_tpu.runtime.batched_llama import (
             batched_llama_decode_chunk, init_batched_llama_state,
             insert_llama_request)
+        mega = None   # free the single-stream flat tiles (~1.9 GB)
+        del st
         B = 8
         bst = init_batched_llama_state(cfg, B, jax.random.PRNGKey(0))
         bctx = bst.kv_k.shape[3]
@@ -498,6 +500,51 @@ def bench_orpheus() -> dict:
         out["orpheus_batched_rtf_8"] = round(
             B * ORPHEUS_AUDIO_PER_TOKEN / bper, 3)
         out["orpheus_batched_ms_per_step"] = round(bper * 1e3, 3)
+
+        # 16 slots: the flat kernel scales past the 8 sublane rows (page
+        # shrinks to 128 as in the engine); the weight stream amortizes
+        # 2x further. HBM capacity fact: 16 slots at the FULL
+        # prompt+generation window need a 9.7 GB cache, which does not
+        # fit v5e alongside the XLA-path weights (3.4 GB) and flat tiles
+        # (1.9 GB) — so the 16-slot configuration caps generation at 448
+        # steps (~9.6 s audio, enough for typical utterances; ctx 1536,
+        # 6.4 GB). The 8-slot state must be freed first either way.
+        if out.get("orpheus_batched_flat"):
+            import dataclasses
+            del bst
+            bmega = None
+            cfg16 = dataclasses.replace(cfg, max_generation_size=448)
+            b16 = init_batched_llama_state(cfg16, 16, jax.random.PRNGKey(0))
+            ctx16 = b16.kv_k.shape[3]
+            b16mega, b16q = maybe_prep_llama_flat(cfg16, w, ctx=ctx16,
+                                                  page=128)
+            shape16 = (cfg.n_layers, cfg.n_kv_heads, ctx16, cfg.head_size)
+            lg16, k16, v16 = orpheus_prefill(cfg16, w, tokens, jnp.int32(64),
+                                             jnp.zeros(shape16, dt),
+                                             jnp.zeros(shape16, dt))
+            f16 = jnp.argmax(lg16).astype(jnp.int32)
+            for s in range(16):
+                b16 = insert_llama_request(cfg16, b16, s, k16, v16, 64, f16,
+                                           True, 1.0, 50, 1.0, 1.0)
+
+            def b16run(b16):
+                b16 = batched_llama_decode_chunk(cfg16, w, b16, n_steps=32,
+                                                 mega=b16mega,
+                                                 mega_qtype=b16q, kmax=64)
+                int(np.asarray(b16.out_tokens).sum())
+                return b16
+
+            b16 = b16run(b16)
+            b16per = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                b16 = b16run(b16)
+                b16per = min(b16per,
+                             (time.perf_counter() - t0 - 0.033) / 32)
+            out["orpheus_batched_rtf_16"] = round(
+                16 * ORPHEUS_AUDIO_PER_TOKEN / b16per, 3)
+            out["orpheus_batched_ms_per_step_16"] = round(b16per * 1e3, 3)
+            out["orpheus_batched_16_max_steps"] = 448
     except Exception as e:  # noqa: BLE001
         out["orpheus_batched_error"] = str(e)[:200]
     return out

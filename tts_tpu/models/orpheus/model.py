@@ -443,9 +443,26 @@ class OrpheusRunner(TTSRunner):
             self.weights = self.weights._replace(
                 head=self.weights.head.fast_lm_head())
         # the flat megastep folds the LM head into its weight stream; it
-        # preps from the (padded) head above — prefill still uses w.head
-        self._mega, self._mega_qtype = maybe_prep_llama_flat(
-            cfg, self.weights)
+        # preps from the (padded) head above — prefill still uses w.head.
+        # Prep is LAZY (first single-stream generate): the tiles are
+        # ~1.9 GB of HBM, and under --batch-slots serving the batched
+        # engine holds its own copy while the single-stream path may
+        # never run (server routes everything through the engine).
+        self._mega_prepped = None
+
+    @property
+    def _mega(self):
+        if self._mega_prepped is None:
+            self._mega_prepped = maybe_prep_llama_flat(self.cfg,
+                                                       self.weights)
+        return self._mega_prepped[0]
+
+    @property
+    def _mega_qtype(self):
+        if self._mega_prepped is None:
+            self._mega_prepped = maybe_prep_llama_flat(self.cfg,
+                                                       self.weights)
+        return self._mega_prepped[1]
 
     def list_voices(self):
         return list(ORPHEUS_VOICES)

@@ -32,11 +32,23 @@ Design points:
     current token's K/V initialize the flash state (m = s_cur, l = 1,
     acc = v_cur), so no separate softmax fold is needed;
   * the LM head rides the same stream as its own tiles with logits as a
-    tiled output — the separate head matvec dispatch disappears.
+    tiled output — the separate head matvec dispatch disappears;
+  * BATCHED variant (llama_flat_megastep_batched): the 8 f32 sublane rows
+    the single-stream kernel spends on replicas carry B DISTINCT slots
+    instead, so every weight phase is unchanged and the whole stream —
+    LM head included — is read once for all slots. Only RoPE (per-slot
+    positions), the KV page blocks ((B, n_kv, psz, d) per page), and the
+    page masks become per-slot. Measured (v5e): 5.0-5.4 ms/step at B=8
+    (vs 4.0 single-stream — the KV pages are the only per-slot DMA);
+    dead pages in an oversized schedule are ~free (ctx 512 vs 2304 at
+    pos 64: 5.38 vs 5.46), live pages cost ~0.33 ms each at B=8, so
+    long generations approach 8 ms/step at pos ~2000.
 
 Replaces the reference's per-matmul graph walk for Orpheus
-(/root/reference/src/models/orpheus/model.cpp:389-405) and subsumes the
-separate LM-head matvec (model.cpp:398).
+(/root/reference/src/models/orpheus/model.cpp:389-405), subsumes the
+separate LM-head matvec (model.cpp:398), and replaces full-model-replica
+scaling (examples/server/server.cpp:885-897) with true in-kernel
+batching.
 """
 from __future__ import annotations
 

@@ -249,23 +249,26 @@ class BatchedLlamaEngine:
         self.prompt_buckets = prompt_buckets
         from ..models.orpheus.model import (maybe_prep_llama_flat,
                                             maybe_prep_llama_mega)
+        # the batched kernels put slots on the f32 sublane rows, so the
+        # compiled batch pads up to a multiple of 8 (padded slots stay
+        # inactive: they add no weight traffic, and n_slots still governs
+        # admission)
+        b_pad = -(-n_slots // 8) * 8
         if cfg.head_size % 128 == 0:
             # flat-tile batched megastep: B slots on the sublane rows, the
             # whole weight stream (LM head included) read once per step.
-            # ctx/page must match init_batched_llama_state's 256-row pages.
+            # ctx must match init_batched_llama_state's 256-row rounding;
+            # the flash page shrinks to 128 rows past 8 slots (the
+            # (B, n_kv, psz, d) page block + (B*nh, B*nkv*psz) score
+            # intermediate would crowd VMEM at 256).
             ctx = -(-(cfg.max_context_length + cfg.max_generation_size)
                     // 256) * 256
             self.mega, self.mega_qtype = maybe_prep_llama_flat(
-                cfg, weights, ctx=ctx, page=256)
+                cfg, weights, ctx=ctx, page=256 if b_pad <= 8 else 128)
         else:
             self.mega, self.mega_qtype = maybe_prep_llama_mega(cfg, weights)
-        # the batched kernels put slots on the 8 f32 sublane rows, so the
-        # compiled batch pads up to a multiple of 8 when a megakernel is
-        # available (padded slots stay inactive: they add no weight
-        # traffic, and n_slots still governs admission); without a kernel
-        # (CPU tests) the state stays exactly n_slots wide
-        b_state = (-(-n_slots // 8) * 8 if self.mega is not None
-                   else n_slots)
+        # without a kernel (CPU tests) the state stays exactly n_slots wide
+        b_state = b_pad if self.mega is not None else n_slots
         self.state = init_batched_llama_state(cfg, b_state,
                                               jax.random.PRNGKey(seed))
         self.slot_req: List[Optional[int]] = [None] * n_slots
