@@ -787,11 +787,13 @@ def main() -> None:
     bst = batched_decode_chunk(cfg, weights, bst, n_steps=64, mega=bmega,
                                mega_qtype=bmega_qtype)  # compile+warm
     int(np.asarray(bst.out_tokens).sum())
-    t0 = time.perf_counter()
-    bst = batched_decode_chunk(cfg, weights, bst, n_steps=64, mega=bmega,
-                               mega_qtype=bmega_qtype)
-    int(np.asarray(bst.out_tokens).sum())
-    bwall = time.perf_counter() - t0
+    bwall = 1e9
+    for _ in range(2):               # min-of-2 vs relay jitter
+        t0 = time.perf_counter()
+        bst = batched_decode_chunk(cfg, weights, bst, n_steps=64,
+                                   mega=bmega, mega_qtype=bmega_qtype)
+        int(np.asarray(bst.out_tokens).sum())
+        bwall = min(bwall, time.perf_counter() - t0)
     batched_rtf = B * 64 * SAMPLES_PER_STEP / SAMPLE_RATE / bwall
     batched_tps = 9 * B * 64 / bwall
 
